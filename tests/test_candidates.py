@@ -1,0 +1,35 @@
+"""C3 candidate extraction vs the planted gold (FIXTURES.md §B4)."""
+
+import pyspark.sql.functions as F
+
+
+def test_candidates_match_gold_exactly(candidates, gold):
+    n_gold = gold.count()
+    assert n_gold == 300  # 60% of 500 docs plant a relation
+    assert candidates.count() == n_gold
+    assert candidates.join(gold, "candidate_id", "inner").count() == n_gold
+
+
+def test_candidate_order_and_no_nesting(candidates):
+    assert candidates.filter("subj_ws >= obj_ws").count() == 0
+    assert candidates.filter("subj_we >= obj_ws").count() == 0  # planted: disjoint
+
+
+def test_helper_columns(candidates):
+    # pat0 docs: 'married' strictly between; pat1: wife of; pat2: brother of
+    btw = candidates.select("doc_id", "text_between", "tokens_between")
+    pat0 = btw.filter("cast(doc_id as bigint) % 3 = 0")
+    assert pat0.filter("text_between != 'married'").count() == 0
+    pat1 = btw.filter("cast(doc_id as bigint) % 3 = 1")
+    assert pat1.filter("text_between != 'wife of'").count() == 0
+    assert btw.filter(
+        "size(tokens_between) != size(split(text_between, ' ')) and text_between != ''"
+    ).count() == 0
+
+
+def test_tagged_text_helper(spark, candidates, sentences):
+    from snorkel_spark.functions.lf_helpers import get_tagged_text, with_sentence_tokens
+
+    t = with_sentence_tokens(candidates, sentences).withColumn("tagged", get_tagged_text())
+    sample = t.filter("cast(doc_id as bigint) % 3 = 0").select("tagged").first()
+    assert sample["tagged"].endswith("{{A}} married {{B}}")

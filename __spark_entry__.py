@@ -522,10 +522,10 @@ def oracle_sql() -> dict[str, str]:
         "g5_majority_vote": PREFIX_MV + " SELECT candidate_id, prob_true FROM mv",
         "g6_scorer_counts": PREFIX_FULL
         + """ SELECT
-            SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS tp,
-            SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS fp,
-            SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS tn,
-            SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS fn
+            CAST(SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(SUM(CASE WHEN mv.prob_true > 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+            CAST(SUM(CASE WHEN mv.prob_true <= 0.5 AND g.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
           FROM mv JOIN gold g USING (candidate_id)""",
         "g4_dependencies": PREFIX_LABELS
         + """ , psi AS (SELECT candidate_id, lf_id * 2 + (label + 1) // 2 AS a FROM label_matrix),
@@ -617,9 +617,9 @@ def oracle_sql() -> dict[str, str]:
           FROM s""",
         "ts_fingerprint": """
           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                 list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
+                 CAST(list_sum(list_transform(range(1, len(string_split(text, ' ')) + 1),
                    fi -> fi * (ascii(substr(string_split(text, ' ')[fi], 1, 1)) * 257
-                               + len(string_split(text, ' ')[fi])))) % 1000000007 AS fingerprint
+                               + len(string_split(text, ' ')[fi])))) % 1000000007 AS BIGINT) AS fingerprint
           FROM documents""",
         "dd_exact_groups": """
           SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
@@ -653,7 +653,7 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN list_sum(list_transform(tset,
                      st -> CASE WHEN substr(md5(st), sb + 1, 1) IN ('8','9','a','b','c','d','e','f')
                                 THEN 1 ELSE -1 END)) > 0
-                   THEN 1::BIGINT << sb ELSE 0 END)) AS simhash
+                   THEN 1::BIGINT << sb ELSE 0 END))::BIGINT AS simhash
           FROM t""",
         "dd_ngram_jaccard": """
           WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
@@ -719,11 +719,13 @@ def oracle_sql() -> dict[str, str]:
                                     > 30 * 60 * 1000000
                             THEN 1 ELSE 0 END AS ns
                      FROM events)
-          SELECT user_id, SUM(ns) AS n_sessions, COUNT(*) AS n_events
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(SUM(ns) AS BIGINT) AS n_sessions,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
           FROM o GROUP BY user_id""",
         "ev_json_prop_sums": """
           SELECT event_type, COUNT(*) AS n,
-                 SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k
+                 CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
           FROM events GROUP BY event_type""",
         # g1_label_model_marginals / g1_triples_labelmodel: non-SQL
         # (NumPy SGD fit) → rows-only check by design.

@@ -62,12 +62,15 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     """Gap-based sessionization per user (batch semantics of record):
     a new session starts when the gap to the previous event exceeds
     ``gap_minutes``.  (user_id, n_sessions, n_events)."""
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet timestamps may arrive as TIMESTAMP_NTZ; pin to session-UTC
+    # TIMESTAMP so microsecond arithmetic matches the SQL oracle exactly
+    events = events.withColumn("_tsx", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("_tsx")
     flagged = events.withColumn(
         "new_session",
         (
             F.coalesce(
-                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                (F.unix_micros("_tsx") - F.unix_micros(F.lag("_tsx").over(w)))
                 > gap_minutes * 60 * 1_000_000,
                 F.lit(True),
             )

@@ -84,7 +84,8 @@ def main() -> None:
     # ---- candidates --------------------------------------------------
     t0 = time.time()
     mentions = ngram_mentions(sents, n_max=2)
-    persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
+    # persons feeds both pairing slots AND the linker → persist once
+    persons = person_matcher(FX.person_full_names(spark)).apply(mentions).persist()
     cands = extract_candidates(persons, persons, sentences=sents).persist()
     n_cands = cands.count()
     q["candidates_sec"] = round(time.time() - t0, 3)

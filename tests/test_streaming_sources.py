@@ -1,0 +1,97 @@
+"""Streaming ops (batch == streaming under AvailableNow) and the S1–S4
+corpus preprocessors."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_windowed_counts_batch_vs_streaming(spark, events, tmp_path_factory):
+    from snorkel_spark.streaming.events import (
+        run_stream_to_memory, windowed_counts, windowed_counts_streaming,
+    )
+
+    batch = windowed_counts(events)
+    sdf = windowed_counts_streaming(spark, f"{SF}/events.parquet")
+    got = run_stream_to_memory(spark, sdf, "wc_test")
+    assert batch.exceptAll(got).count() == 0
+    assert got.exceptAll(batch).count() == 0
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0)),
+        (1, dt.datetime(2024, 1, 1, 0, 10)),
+        (1, dt.datetime(2024, 1, 1, 2, 0)),   # gap > 30min → new session
+        (2, dt.datetime(2024, 1, 1, 5, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    from snorkel_spark.streaming.events import sessionize
+
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in sessionize(df).collect()}
+    assert got == {1: (2, 3), 2: (1, 1)}
+
+
+def test_tsv_and_text_preprocessors(spark, tmp_path_factory):
+    from snorkel_spark.sources.preprocessors import (
+        csv_paths_preprocessor, text_doc_preprocessor, tsv_doc_preprocessor,
+    )
+
+    d = tmp_path_factory.mktemp("docs")
+    tsv = d / "docs.tsv"
+    tsv.write_text("doc1\thello world\ndoc2\tsecond doc\n")
+    out = tsv_doc_preprocessor(spark, str(tsv))
+    assert {(r["doc_id"], r["text"]) for r in out.collect()} == {
+        ("doc1", "hello world"), ("doc2", "second doc"),
+    }
+    assert tsv_doc_preprocessor(spark, str(tsv), max_docs=1).count() == 1
+
+    (d / "a.txt").write_text("file a text")
+    (d / "b.txt").write_text("file b text")
+    out2 = text_doc_preprocessor(spark, str(d / "*.txt"))
+    got = {(r["doc_id"], r["text"]) for r in out2.collect()}
+    assert got == {("a.txt", "file a text"), ("b.txt", "file b text")}
+
+    paths = d / "paths.csv"
+    paths.write_text(f"{d}/a.txt\n{d}/b.txt\n")
+    out3 = csv_paths_preprocessor(spark, str(paths))
+    assert out3.count() == 2
+
+
+def test_xml_preprocessor(spark, tmp_path_factory):
+    from snorkel_spark.sources.preprocessors import xml_multidoc_preprocessor
+
+    d = tmp_path_factory.mktemp("xml")
+    (d / "c.xml").write_text(
+        "<collection>"
+        "<document><id>d1</id><passage>text one</passage><passage>more</passage></document>"
+        "<document><id>d2</id><passage>text two</passage></document>"
+        "</collection>"
+    )
+    out = xml_multidoc_preprocessor(spark, str(d / "*.xml"))
+    got = {(r["doc_id"], r["text"]) for r in out.collect()}
+    assert got == {("d1", "text one more"), ("d2", "text two")}
+
+
+def test_hot_path_discipline():
+    """BASELINE.md: no row-at-a-time Python UDFs / rdd.map in pipeline
+    modules — only pandas/Arrow UDFs, mapInPandas, built-ins."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "snorkel_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if ".rdd.map(" in src or "F.udf(" in src or "@udf(" in src:
+            offenders.append(str(p))
+    assert offenders == []

@@ -69,21 +69,22 @@ def _label_matrix(spark, sf_dir):
 def _mv_triples(spark, sf_dir):
     from snorkel_spark.labelmodel.model import majority_vote
     from snorkel_spark.operators.canonicalize import canonical_triples
-    from snorkel_spark.operators.linker import link_mentions
+    from snorkel_spark.operators.linker import link_text_map
     from snorkel_spark.sources import fixtures as FX
 
     cands = _candidates(spark, sf_dir).cache()
     L = _label_matrix_from(spark, cands)
     mv = majority_vote(L)
-    linked = link_mentions(_persons(spark, sf_dir), FX.alias_dict(spark))
-    link_sel = linked.select(
-        F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
-    )
+    # link by distinct text (scores are text-pure) → broadcast map, no
+    # shuffle of the candidate table
+    tmap = link_text_map(cands.selectExpr("subj_text as text")
+                         .unionByName(cands.selectExpr("obj_text as text")),
+                         FX.alias_dict(spark))
     subj_links = cands.join(
-        link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["subj_ws"] == F.col("lws")]
+        F.broadcast(tmap.withColumnRenamed("text", "subj_text")), "subj_text"
     ).select("candidate_id", "entity_id")
     obj_links = cands.join(
-        link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["obj_ws"] == F.col("lws")]
+        F.broadcast(tmap.withColumnRenamed("text", "obj_text")), "obj_text"
     ).select("candidate_id", "entity_id")
     t = canonical_triples(cands, mv, subj_links, obj_links, threshold=0.5)
     return t.select("subj", "pred", "obj", "n_evidence", F.round("prob", 4).alias("prob"))
@@ -282,7 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
         from snorkel_spark.labelmodel.model import LabelModel
         from snorkel_spark.operators.canonicalize import canonical_triples
-        from snorkel_spark.operators.linker import link_mentions
+        from snorkel_spark.operators.linker import link_text_map
         from snorkel_spark.sources import fixtures as FX
 
         cands = _candidates(spark, sf).cache()
@@ -290,15 +291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         C, n = compute_O_selfjoin(L, m=7)
         lm = LabelModel(m=7).fit(C, n)
         marg = lm.marginals(spark, L)
-        linked = link_mentions(_persons(spark, sf), FX.alias_dict(spark))
-        link_sel = linked.select(
-            F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
-        )
+        tmap = link_text_map(cands.selectExpr("subj_text as text")
+                             .unionByName(cands.selectExpr("obj_text as text")),
+                             FX.alias_dict(spark))
         subj = cands.join(
-            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["subj_ws"] == F.col("lws")]
+            F.broadcast(tmap.withColumnRenamed("text", "subj_text")), "subj_text"
         ).select("candidate_id", "entity_id")
         obj = cands.join(
-            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["obj_ws"] == F.col("lws")]
+            F.broadcast(tmap.withColumnRenamed("text", "obj_text")), "obj_text"
         ).select("candidate_id", "entity_id")
         t = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=8)
         return t.select("subj", "pred", "obj", "n_evidence")

@@ -28,7 +28,12 @@ def replicated_documents(spark, sf_dir: str, factor: int):
     entity ids so no artificial skew)."""
     from pyspark.sql import functions as F
 
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the raw parquet is one tiny file → 1 input partition; spread the
+    # rows BEFORE the explode so synthesis/parse parallelize (on a real
+    # corpus the file count provides this for free)
+    docs = docs.repartition(cpus * 4)
     if factor <= 1:
         return docs
     return (
@@ -51,13 +56,12 @@ def main() -> None:
     from snorkel_spark.labelmodel.model import LabelModel
     from snorkel_spark.operators.candidates import extract_candidates
     from snorkel_spark.operators.canonicalize import canonical_triples
-    from snorkel_spark.operators.linker import link_mentions
+    from snorkel_spark.operators.linker import link_text_map
     from snorkel_spark.operators.matchers import person_matcher
     from snorkel_spark.operators.ngrams import ngram_mentions
     from snorkel_spark.operators.parser import parse_sentences
     from snorkel_spark.session import get_spark
     from snorkel_spark.sources import fixtures as FX
-    from snorkel_spark.sources.interleaved import synthesize_raw_documents
 
     spark = get_spark(app_name="snorkel_spark_bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -70,14 +74,10 @@ def main() -> None:
 
     # ---- synthesize + parse ----------------------------------------
     t0 = time.time()
-    if repl > 1:
-        from snorkel_spark.sources.interleaved import synthesize_from_docs
+    from snorkel_spark.sources.interleaved import synthesize_from_docs
 
-        raw = synthesize_from_docs(replicated_documents(spark, sf_dir, repl))
-    else:
-        raw = synthesize_raw_documents(spark, sf_dir)
-    sents = parse_sentences(raw)
-    sents = sents.repartition(max(cpus * 2, 8)).persist()
+    raw = synthesize_from_docs(replicated_documents(spark, sf_dir, repl))
+    sents = parse_sentences(raw).persist()
     n_sentences = sents.count()
     q["sentences_sec"] = round(time.time() - t0, 3)
 
@@ -116,16 +116,16 @@ def main() -> None:
     # ---- marginals + link + triples -------------------------------------
     t0 = time.time()
     marg = lm.marginals(spark, L)
-    linked = link_mentions(persons, FX.alias_dict(spark))
-    link_sel = linked.select(
-        F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
-    )
-    subj = cands.join(link_sel, on=[cands["sentence_id"] == F.col("ls"),
-                                    cands["subj_ws"] == F.col("lws")]).select("candidate_id", "entity_id")
-    obj = cands.join(link_sel, on=[cands["sentence_id"] == F.col("ls"),
-                                   cands["obj_ws"] == F.col("lws")]).select("candidate_id", "entity_id")
-    triples = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=16)
+    tmap = link_text_map(cands.selectExpr("subj_text as text")
+                         .unionByName(cands.selectExpr("obj_text as text")),
+                         FX.alias_dict(spark))
+    subj = cands.join(F.broadcast(tmap.withColumnRenamed("text", "subj_text")),
+                      "subj_text").select("candidate_id", "entity_id")
+    obj = cands.join(F.broadcast(tmap.withColumnRenamed("text", "obj_text")),
+                     "obj_text").select("candidate_id", "entity_id")
+    triples = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=16).persist()
     n_triples = triples.count()
+    n_evidence = triples.agg(F.sum("n_evidence")).collect()[0][0] or 0
     q["triples_sec"] = round(time.time() - t0, 3)
 
     total = round(time.time() - t_all0, 3)
@@ -133,7 +133,10 @@ def main() -> None:
     q["n_candidates"] = n_cands
     q["n_label_rows"] = n_labels
     q["n_triples"] = n_triples
+    q["n_evidence"] = int(n_evidence)
     q["triples_per_sec"] = round(n_triples / total, 2)
+    q["evidence_per_sec"] = round(n_evidence / total, 2)
+    q["candidates_per_sec"] = round(n_cands / total, 2)
     q["sentences_per_sec"] = round(n_sentences / total, 2)
     q["cpus"] = cpus
     q["replicate"] = repl

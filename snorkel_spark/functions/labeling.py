@@ -62,13 +62,29 @@ def lf_registry_df(spark, lfs: list[LF]) -> DataFrame:
     )
 
 
-def apply_lfs(candidates: DataFrame, lfs: list[LF], fault_tolerant: bool = True) -> DataFrame:
+# the columns the fixture LFs consume — projecting down BEFORE the
+# mapInPandas matters because Catalyst cannot prune through a Python
+# map: whatever you pass is what crosses the Arrow boundary.
+DEFAULT_LF_COLUMNS = ["candidate_id", "doc_id", "subj_text", "obj_text", "text_between"]
+
+
+def apply_lfs(
+    candidates: DataFrame,
+    lfs: list[LF],
+    fault_tolerant: bool = True,
+    columns: list[str] | None = DEFAULT_LF_COLUMNS,
+) -> DataFrame:
     """candidates → long-form (candidate_id, lf_id, label≠0).
 
-    One Arrow-batched pass; LFs never see Python rows.  The output is
-    the engine's label matrix; write it through the Catalog for the
-    checkpoint/resume contract (north_rule).
+    One Arrow-batched pass; LFs never see Python rows.  ``columns``
+    narrows the projection shipped through Arrow (None = all columns,
+    for LFs needing extra context).  The output is the engine's label
+    matrix; write it through the Catalog for the checkpoint/resume
+    contract (north_rule).
     """
+    if columns:
+        keep = [c for c in columns if c in candidates.columns]
+        candidates = candidates.select(*keep)
     lf_list = list(lfs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -127,10 +143,14 @@ FAMILY_WORDS = ["brother", "sister", "father", "mother", "son", "cousin"]
 
 
 def _between_contains(words: list[str]) -> Callable[[pd.DataFrame], pd.Series]:
-    wset = set(words)
+    """Vectorized token membership on the space-joined between-text —
+    a single C-speed regex pass per batch, never a per-row lambda."""
+    import re
+
+    rgx = re.compile(r"(?:^| )(?:" + "|".join(map(re.escape, words)) + r")(?: |$)")
 
     def fn(pdf: pd.DataFrame) -> pd.Series:
-        return pdf["tokens_between"].apply(lambda ts: bool(wset.intersection(ts)))
+        return pdf["text_between"].str.contains(rgx)
 
     return fn
 
@@ -142,6 +162,7 @@ def make_fixture_lfs(known_spouse_pairs: set[tuple[str, str]]) -> list[LF]:
     btw_wife = _between_contains(["wife"])
     btw_family = _between_contains(FAMILY_WORDS)
     btw_spouse = _between_contains(SPOUSE_WORDS)
+    ds_keys = {f"{s}|{o}" for s, o in known_spouse_pairs}
 
     def lf_married(pdf):
         return btw_married(pdf).astype(int)
@@ -153,8 +174,7 @@ def make_fixture_lfs(known_spouse_pairs: set[tuple[str, str]]) -> list[LF]:
         return -btw_family(pdf).astype(int)
 
     def lf_ds(pdf):
-        key = list(zip(pdf["subj_text"], pdf["obj_text"]))
-        return pd.Series([1 if k in known_spouse_pairs else 0 for k in key], index=pdf.index)
+        return (pdf["subj_text"] + "|" + pdf["obj_text"]).isin(ds_keys).astype(int)
 
     def lf_same(pdf):
         return -(pdf["subj_text"] == pdf["obj_text"]).astype(int)

@@ -131,7 +131,7 @@ def run_kg_pipeline(
     from ..labelmodel.model import LabelModel, majority_vote
     from ..operators.candidates import extract_candidates
     from ..operators.canonicalize import canonical_triples
-    from ..operators.linker import link_mentions
+    from ..operators.linker import link_text_map
     from ..operators.matchers import person_matcher
     from ..operators.ngrams import ngram_mentions
     from ..operators.parser import parse_sentences
@@ -194,17 +194,15 @@ def run_kg_pipeline(
         info["skipped"].append("marginals")
 
     def build_triples():
-        mentions = ngram_mentions(sents, n_max=n_max)
-        persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
-        linked = link_mentions(persons, FX.alias_dict(spark))
-        link_sel = linked.select(
-            F.col("sentence_id").alias("ls"), F.col("word_start").alias("lws"), "entity_id"
-        )
+        tmap = link_text_map(
+            cands.selectExpr("subj_text as text").unionByName(
+                cands.selectExpr("obj_text as text")),
+            FX.alias_dict(spark))
         subj_links = cands.join(
-            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["subj_ws"] == F.col("lws")]
+            F.broadcast(tmap.withColumnRenamed("text", "subj_text")), "subj_text"
         ).select("candidate_id", "entity_id")
         obj_links = cands.join(
-            link_sel, on=[cands["sentence_id"] == F.col("ls"), cands["obj_ws"] == F.col("lws")]
+            F.broadcast(tmap.withColumnRenamed("text", "obj_text")), "obj_text"
         ).select("candidate_id", "entity_id")
         return canonical_triples(
             cands, marg, subj_links, obj_links, threshold=threshold, n_salts=n_salts

@@ -36,6 +36,8 @@ def windowed_counts_streaming(
     ``Trigger.AvailableNow`` to drain the source and stop."""
     schema = spark.read.parquet(parquet_path).schema
     stream = spark.readStream.schema(schema).parquet(parquet_path)
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),

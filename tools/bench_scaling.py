@@ -54,9 +54,16 @@ def main():
         print(f"local[{cpus}]: walls={[r['value'] for r in trials]}", flush=True)
 
     n, n4 = levels
-    tps_n = results[n]["median"]["queries"]["triples_per_sec"]
-    tps_4n = results[n4]["median"]["queries"]["triples_per_sec"]
+    # distinct (subj,pred,obj) saturates at the synthesis's 137 entities,
+    # so throughput for scaling purposes = rows of work per second:
+    # sentences/sec (and candidates/sec as a cross-check); triples/sec
+    # and evidence/sec are reported alongside.
+    tps_n = results[n]["median"]["queries"]["sentences_per_sec"]
+    tps_4n = results[n4]["median"]["queries"]["sentences_per_sec"]
     eff = (tps_4n / tps_n) / (n4 / n)
+    cps_n = results[n]["median"]["queries"]["candidates_per_sec"]
+    cps_4n = results[n4]["median"]["queries"]["candidates_per_sec"]
+    eff_c = (cps_4n / cps_n) / (n4 / n)
     med4 = results[n4]["median"]["queries"]
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -71,12 +78,18 @@ Input: sf0.1 documents × {repl} replicas = {5000 * repl} docs
 
 ## Scaling (north_rule gate: efficiency ≥ 0.8 from N → 4N)
 
-| level | wall (s) | triples/sec | sentences/sec |
-|---|---|---|---|
-| local[{n}]  (N)  | {results[n]['median']['value']} | {tps_n} | {results[n]['median']['queries']['sentences_per_sec']} |
-| local[{n4}] (4N) | {results[n4]['median']['value']} | {tps_4n} | {med4['sentences_per_sec']} |
+Distinct (subj,pred,obj) triples saturate at the synthesis's 137
+entity pairs, so row-throughput is the scaling measure: sentences/sec
+(headline) and candidates/sec (cross-check); triple-evidence rows/sec
+reported too.
 
-**Scaling efficiency = (tps@4N / tps@N) / 4 = {eff:.3f}**
+| level | wall (s) | sentences/sec | candidates/sec | evidence/sec | distinct triples |
+|---|---|---|---|---|---|
+| local[{n}]  (N)  | {results[n]['median']['value']} | {tps_n} | {cps_n} | {results[n]['median']['queries']['evidence_per_sec']} | {results[n]['median']['queries']['n_triples']} |
+| local[{n4}] (4N) | {results[n4]['median']['value']} | {tps_4n} | {cps_4n} | {med4['evidence_per_sec']} | {med4['n_triples']} |
+
+**Scaling efficiency (sentences/sec) = (tps@4N / tps@N) / 4 = {eff:.3f}**
+**Scaling efficiency (candidates/sec) = {eff_c:.3f}**
 
 All walls: local[{n}]={results[n]['wall_sec_all']}, local[{n4}]={results[n4]['wall_sec_all']}
 
@@ -92,7 +105,8 @@ All walls: local[{n}]={results[n]['wall_sec_all']}, local[{n4}]={results[n4]['wa
 | label-model fit (driver NumPy) | {med4['fit_sec']} |
 | marginals+link+triples | {med4['triples_sec']} |
 """)
-    print(json.dumps({"efficiency": eff, "tps_n": tps_n, "tps_4n": tps_4n}))
+    print(json.dumps({"efficiency_sentences": eff, "efficiency_candidates": eff_c,
+                      "tps_n": tps_n, "tps_4n": tps_4n}))
 
 
 if __name__ == "__main__":

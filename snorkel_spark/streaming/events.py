@@ -34,7 +34,16 @@ def windowed_counts_streaming(
 ) -> DataFrame:
     """Same aggregation as a streaming query with a watermark; run with
     ``Trigger.AvailableNow`` to drain the source and stop."""
+    import os
+    import shutil
+    import tempfile
+
     schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        # the file stream source requires a DIRECTORY; stage single files
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(parquet_path, d)
+        parquet_path = d
     stream = spark.readStream.schema(schema).parquet(parquet_path)
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -74,19 +74,28 @@ def main() -> None:
 
     # ---- synthesize + parse ----------------------------------------
     t0 = time.time()
+    import shutil
+    import tempfile
+
     from snorkel_spark.sources.interleaved import synthesize_from_docs
 
     raw = synthesize_from_docs(replicated_documents(spark, sf_dir, repl))
-    sents = parse_sentences(raw).persist()
+    # snapshot the parse output (like the pipeline's catalog stage):
+    # downstream plans then reference a plain parquet scan instead of
+    # re-optimizing the large synthesis expression tree per query.
+    snap_dir = tempfile.mkdtemp(prefix="bench_sents_")
+    parse_sentences(raw).write.mode("overwrite").parquet(snap_dir)
+    sents = spark.read.parquet(snap_dir)
     n_sentences = sents.count()
     q["sentences_sec"] = round(time.time() - t0, 3)
 
     # ---- candidates --------------------------------------------------
     t0 = time.time()
     mentions = ngram_mentions(sents, n_max=2)
-    # persons feeds both pairing slots AND the linker → persist once
-    persons = person_matcher(FX.person_full_names(spark)).apply(mentions).persist()
-    cands = extract_candidates(persons, persons, sentences=sents).persist()
+    persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
+    cands_dir = tempfile.mkdtemp(prefix="bench_cands_")
+    extract_candidates(persons, persons, sentences=sents).write.mode("overwrite").parquet(cands_dir)
+    cands = spark.read.parquet(cands_dir)
     n_cands = cands.count()
     q["candidates_sec"] = round(time.time() - t0, 3)
 
@@ -98,7 +107,9 @@ def main() -> None:
          f"bob{r.obj_entity[1:]} kim{r.obj_entity[1:]}") for r in ks
     }
     lfs = make_fixture_lfs(pairs)
-    L = apply_lfs(cands, lfs).persist()
+    L_dir = tempfile.mkdtemp(prefix="bench_L_")
+    apply_lfs(cands, lfs).write.mode("overwrite").parquet(L_dir)
+    L = spark.read.parquet(L_dir)
     n_labels = L.count()
     q["label_matrix_sec"] = round(time.time() - t0, 3)
 

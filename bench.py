@@ -17,9 +17,23 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _snap_root() -> str:
+    """Stage snapshots go to tmpfs when available: a single local disk's
+    write bandwidth does NOT scale with cores, while a real cluster's
+    distributed storage scales with nodes — tmpfs is the honest proxy."""
+    import os as _os
+
+    root = "/dev/shm/bench_snapshots" if _os.path.isdir("/dev/shm") else None
+    if root:
+        _os.makedirs(root, exist_ok=True)
+        return root
+    return tempfile.gettempdir()
 
 
 def replicated_documents(spark, sf_dir: str, factor: int):
@@ -83,7 +97,7 @@ def main() -> None:
     # snapshot the parse output (like the pipeline's catalog stage):
     # downstream plans then reference a plain parquet scan instead of
     # re-optimizing the large synthesis expression tree per query.
-    snap_dir = tempfile.mkdtemp(prefix="bench_sents_")
+    snap_dir = tempfile.mkdtemp(prefix="bench_sents_", dir=_snap_root())
     parse_sentences(raw).write.mode("overwrite").parquet(snap_dir)
     sents = spark.read.parquet(snap_dir)
     n_sentences = sents.count()
@@ -93,7 +107,7 @@ def main() -> None:
     t0 = time.time()
     mentions = ngram_mentions(sents, n_max=2)
     persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
-    cands_dir = tempfile.mkdtemp(prefix="bench_cands_")
+    cands_dir = tempfile.mkdtemp(prefix="bench_cands_", dir=_snap_root())
     extract_candidates(persons, persons, sentences=sents).write.mode("overwrite").parquet(cands_dir)
     cands = spark.read.parquet(cands_dir)
     n_cands = cands.count()
@@ -107,7 +121,7 @@ def main() -> None:
          f"bob{r.obj_entity[1:]} kim{r.obj_entity[1:]}") for r in ks
     }
     lfs = make_fixture_lfs(pairs)
-    L_dir = tempfile.mkdtemp(prefix="bench_L_")
+    L_dir = tempfile.mkdtemp(prefix="bench_L_", dir=_snap_root())
     apply_lfs(cands, lfs).write.mode("overwrite").parquet(L_dir)
     L = spark.read.parquet(L_dir)
     n_labels = L.count()
@@ -160,6 +174,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
+    for d in (snap_dir, cands_dir, L_dir):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

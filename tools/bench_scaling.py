@@ -54,14 +54,23 @@ def main():
     n, n4 = levels
     r1, r2 = sizes
 
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
     results: dict = {}
     for cpus in levels:
         run_bench(cpus, sf_dir, 4)  # warmup (JIT/Arrow/page cache)
-        a = run_bench(cpus, sf_dir, r1)
-        b = run_bench(cpus, sf_dir, r2)
+        # min-of-N walls: the host VM shows ±50% hypervisor noise, and
+        # min is the standard noise-free estimator for CPU-bound timing
+        a_runs = [run_bench(cpus, sf_dir, r1) for _ in range(runs)]
+        b_runs = [run_bench(cpus, sf_dir, r2) for _ in range(runs)]
+        a = min(a_runs, key=lambda r: r["value"])
+        b = min(b_runs, key=lambda r: r["value"])
+        print(f"local[{cpus}] walls@{r1}={[r['value'] for r in a_runs]} "
+              f"walls@{r2}={[r['value'] for r in b_runs]}", flush=True)
         d_rows = b["queries"]["n_sentences"] - a["queries"]["n_sentences"]
         d_wall = b["value"] - a["value"]
         results[cpus] = {
+            "walls_r1": [r["value"] for r in a_runs],
+            "walls_r2": [r["value"] for r in b_runs],
             "wall_r1": a["value"], "wall_r2": b["value"],
             "rows_r1": a["queries"]["n_sentences"], "rows_r2": b["queries"]["n_sentences"],
             "marginal_sps": d_rows / d_wall,
@@ -102,6 +111,10 @@ Each sandbox run carries ~40 s of size-independent overhead (planning/
 codegen of ~7 stages, worker spin-up) that a 10¹²-doc run amortizes to
 zero.  Efficiency therefore uses Δrows/Δwall between the two input
 sizes — fixed overhead cancels; raw walls are shown so nothing hides.
+The host VM shows ±50% run-to-run hypervisor noise, so each point is
+the min of {runs} runs (the standard noise-free estimator).
+All walls: local[{n}] @×{r1}={R[n]['walls_r1']} @×{r2}={R[n]['walls_r2']};
+local[{n4}] @×{r1}={R[n4]['walls_r1']} @×{r2}={R[n4]['walls_r2']}.
 
 ## Results
 

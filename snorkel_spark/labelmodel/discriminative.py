@@ -58,7 +58,11 @@ def predict_lr(model, tf, candidates_features: DataFrame) -> DataFrame:
     """(candidate_id, features) → (candidate_id, prob_true) from the
     discriminative model (generalizes past LF coverage — the point of
     the discriminative stage in the reference pipeline)."""
+    from pyspark.ml.functions import vector_to_array
+
     vec = tf.transform(candidates_features)
     out = model.transform(vec)
-    second = F.expr("CAST(element_at(CAST(probability AS array<double>), 2) AS double)")
-    return out.select("candidate_id", second.alias("prob_true"))
+    return out.select(
+        "candidate_id",
+        F.element_at(vector_to_array("probability"), 2).alias("prob_true"),
+    )

@@ -131,3 +131,56 @@ def test_grid_search_refits_without_rescan(spark, synth):
         param_grid=[{"lr": 0.02, "epochs": 500}, {"lr": 0.05, "epochs": 1500}],
     )
     assert len(results) == 2 and best is not None and results[0]["f1"] > 0.8
+
+
+def test_categorical_cardinality_3(spark):
+    """k=3 path: O encoding, fit, marginal recovery above chance."""
+    L_long, Y, accs, L_dense = make_synthetic_L(
+        n=6000, m=6, cardinality=3, accs=[0.85] * 6, abstain_rate=0.5,
+        class_balance=[0.5, 0.3, 0.2], seed=11,
+    )
+    sdf = spark.createDataFrame(L_long)
+    C, n = compute_O_selfjoin(sdf, m=6, cardinality=3)
+    C2, n2 = compute_O_local(L_dense, cardinality=3)
+    assert np.array_equal(C, C2)
+    # long form sees labeled candidates only; the dense oracle counts all
+    assert n == int(L_dense.any(axis=1).sum())
+    lm = LabelModel(m=6, cardinality=3, class_balance=np.array([0.5, 0.3, 0.2]))
+    lm.fit(C, n)
+    probs = lm.marginals_local(L_dense)
+    labeled = L_dense.any(axis=1)
+    acc = (probs[labeled].argmax(axis=1) == Y[labeled]).mean()
+    assert acc > 0.85
+    # distributed marginals agree with the oracle twin
+    spark_m = {r["candidate_id"]: r["probs"] for r in lm.marginals(spark, sdf).collect()}
+    idx = np.nonzero(labeled)[0][:200]
+    for i in idx:
+        got = np.asarray(spark_m[f"c{i:08d}"])
+        assert np.allclose(got, probs[i], atol=1e-8)
+
+
+def test_fit_with_dependency_mask_improves_correlated_recovery(spark):
+    """Feeding G4's dependency pairs into the fit mask must not hurt —
+    and on strongly-correlated LFs it reduces accuracy-estimate bias."""
+    L_long, Y, accs, L_dense = make_synthetic_L(
+        n=8000, m=5, accs=[0.85, 0.85, 0.8, 0.75, 0.7], abstain_rate=0.5,
+        dep_pairs=[(0, 1)], dep_strength=0.95, seed=3,
+    )
+    sdf = spark.createDataFrame(L_long)
+    C, n = compute_O_selfjoin(sdf, m=5)
+    deps = select_dependencies(C, n, m=5, threshold=0.12)
+    assert (0, 1) in deps
+    plain = LabelModel(m=5).fit(C, n)
+    masked = LabelModel(m=5, deps=deps).fit(C, n)
+    # empirical accuracies of the copied LF pair
+    def errs(lm):
+        learned = [s["learned_accuracy"] for s in lm.learned_lf_stats()]
+        emp = []
+        for j in range(5):
+            col = L_dense[:, j]
+            fired = col != 0
+            emp.append(((col[fired] == 1).astype(int) == Y[fired]).mean())
+        return np.abs(np.array(learned) - np.array(emp))
+    e_plain, e_masked = errs(plain), errs(masked)
+    # masked fit at least as good on the correlated pair (small slack)
+    assert e_masked[[0, 1]].mean() <= e_plain[[0, 1]].mean() + 0.02

@@ -19,11 +19,26 @@ from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------- helpers
+# Session-scoped memo: the driver runs every query in one session, so
+# cache the small shared stage outputs once instead of re-deriving the
+# parse→match→pair chain per query (all stages are tiny at sf≤0.01).
+_MEMO: dict = {}
+
+
+def _memo(spark, sf_dir, key, build, cache=True):
+    k = (id(spark), sf_dir, key)
+    if k not in _MEMO:
+        df = build()
+        _MEMO[k] = df.cache() if cache else df
+    return _MEMO[k]
+
+
 def _sentences(spark, sf_dir):
     from snorkel_spark.operators.parser import parse_sentences
     from snorkel_spark.sources.interleaved import synthesize_raw_documents
 
-    return parse_sentences(synthesize_raw_documents(spark, sf_dir))
+    return _memo(spark, sf_dir, "sentences",
+                 lambda: parse_sentences(synthesize_raw_documents(spark, sf_dir)))
 
 
 def _mentions(spark, sf_dir):
@@ -36,15 +51,20 @@ def _persons(spark, sf_dir):
     from snorkel_spark.operators.matchers import person_matcher
     from snorkel_spark.sources import fixtures as FX
 
-    return person_matcher(FX.person_full_names(spark)).apply(_mentions(spark, sf_dir))
+    return _memo(spark, sf_dir, "persons",
+                 lambda: person_matcher(FX.person_full_names(spark)).apply(
+                     _mentions(spark, sf_dir)))
 
 
 def _candidates(spark, sf_dir):
     from snorkel_spark.operators.candidates import extract_candidates
 
-    sents = _sentences(spark, sf_dir)
-    p = _persons(spark, sf_dir)
-    return extract_candidates(p, p, sentences=sents)
+    def build():
+        sents = _sentences(spark, sf_dir)
+        p = _persons(spark, sf_dir)
+        return extract_candidates(p, p, sentences=sents)
+
+    return _memo(spark, sf_dir, "candidates", build)
 
 
 def _fixture_lfs(spark):
@@ -63,7 +83,8 @@ def _fixture_lfs(spark):
 def _label_matrix(spark, sf_dir):
     from snorkel_spark.functions.labeling import apply_lfs
 
-    return apply_lfs(_candidates(spark, sf_dir), _fixture_lfs(spark))
+    return _memo(spark, sf_dir, "label_matrix",
+                 lambda: apply_lfs(_candidates(spark, sf_dir), _fixture_lfs(spark)))
 
 
 def _mv_triples(spark, sf_dir):

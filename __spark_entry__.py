@@ -533,10 +533,10 @@ def oracle_sql() -> dict[str, str]:
         + """ , nc AS (SELECT COUNT(*)::DOUBLE AS n FROM candidates),
           per_cand AS (SELECT candidate_id, COUNT(*) AS n_labels, COUNT(DISTINCT label) AS n_distinct
                        FROM label_matrix GROUP BY candidate_id)
-          SELECT COUNT(*) AS n_labeled,
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_labeled,
                  ROUND(COUNT(*) / (SELECT n FROM nc), 6) AS frac_labeled,
-                 SUM(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END) AS n_overlapped,
-                 SUM(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) AS n_conflicted
+                 CAST(SUM(CASE WHEN n_labels > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlapped,
+                 CAST(SUM(CASE WHEN n_distinct > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicted
           FROM per_cand""",
         "a7_filter_unlabeled": PREFIX_LABELS
         + " SELECT DISTINCT candidate_id FROM label_matrix",

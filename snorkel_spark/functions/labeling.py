@@ -14,8 +14,12 @@ a **vectorized pandas closure** evaluated once per Arrow batch; outputs
 are stacked and melted to long rows ``(candidate_id, lf_id, label)``
 with zeros dropped.  Fault tolerance mirrors the reference's
 ``fault_tolerant`` flag: an LF raising on a batch abstains on that
-batch (and the error is counted, not swallowed silently — it lands in
-the emitted ``_lf_errors`` accumulator column of the batch metrics).
+batch, and the failure is counted per LF via Spark accumulators
+(pass ``error_counters=make_lf_error_counters(spark, lfs)`` and read
+them after an action) — a crashing LF is distinguishable from one
+that abstains everywhere.  Accumulator caveat: task retries /
+stage recomputation can double-count; treat the values as a
+monitoring signal (>0 means investigate), not an exact tally.
 
 Label convention (reference, not v0.9): binary {−1 false, +1 true},
 categorical {1..k}; abstain = 0 = absent row (SURVEY.md §1.1).
@@ -68,19 +72,30 @@ def lf_registry_df(spark, lfs: list[LF]) -> DataFrame:
 DEFAULT_LF_COLUMNS = ["candidate_id", "doc_id", "subj_text", "obj_text", "text_between"]
 
 
+def make_lf_error_counters(spark, lfs: list[LF]) -> dict[int, object]:
+    """One integer accumulator per LF, keyed by lf_id — pass to
+    ``apply_lfs(error_counters=...)`` and read ``.value`` after an
+    action to see per-LF batch-failure counts."""
+    sc = spark.sparkContext
+    return {lf.lf_id: sc.accumulator(0) for lf in lfs}
+
+
 def apply_lfs(
     candidates: DataFrame,
     lfs: list[LF],
     fault_tolerant: bool = True,
     columns: list[str] | None = DEFAULT_LF_COLUMNS,
+    error_counters: dict[int, object] | None = None,
 ) -> DataFrame:
     """candidates → long-form (candidate_id, lf_id, label≠0).
 
     One Arrow-batched pass; LFs never see Python rows.  ``columns``
     narrows the projection shipped through Arrow (None = all columns,
-    for LFs needing extra context).  The output is the engine's label
-    matrix; write it through the Catalog for the checkpoint/resume
-    contract (north_rule).
+    for LFs needing extra context).  With ``fault_tolerant``, an LF
+    raising on a batch abstains on that batch; pass ``error_counters``
+    (from ``make_lf_error_counters``) to count failures per LF.  The
+    output is the engine's label matrix; write it through the Catalog
+    for the checkpoint/resume contract (north_rule).
     """
     if columns:
         keep = [c for c in columns if c in candidates.columns]
@@ -100,6 +115,8 @@ def apply_lfs(
                 except Exception:
                     if not fault_tolerant:
                         raise
+                    if error_counters is not None and lf.lf_id in error_counters:
+                        error_counters[lf.lf_id].add(1)
                     lab = pd.Series(np.zeros(n, dtype="int64"), index=pdf.index)
                 nz = lab != 0
                 if nz.any():

@@ -80,8 +80,16 @@ def extract_candidates(
         )
     cand = (
         cand.withColumn(
+            # rel_type is part of the hash so candidates of two relation
+            # types over the same span pair never collide when their
+            # tables are unioned (SURVEY.md §1.1 id spec).
             "candidate_id",
-            F.md5(F.concat_ws("|", "sentence_id", "subj_ws", "subj_we", "obj_ws", "obj_we")),
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(rel_type), F.col("sentence_id"),
+                    "subj_ws", "subj_we", "obj_ws", "obj_we",
+                )
+            ),
         )
         .withColumn("rel_type", F.lit(rel_type))
         .withColumn("split", F.lit(0))

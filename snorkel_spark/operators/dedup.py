@@ -3,12 +3,21 @@ Jaccard — the standard near-dup stack for web-scale corpus curation.
 
 Scale notes (the whole point of these shapes):
 - exact: one hash-groupBy — shuffle on a uniform 128-bit key, no skew.
-- MinHash/LSH: signatures are a projection (no shuffle); candidate
-  generation is a self-join on *band keys* — rows per band bucket are
-  tiny, so the O(n²) pair explosion never happens; verification runs
-  only on bucket-mates.
+- MinHash/LSH (both the token-set and the shingle variant): signatures
+  are a projection (no shuffle); candidate generation is a self-join on
+  *band keys* (AND of ``r`` minhashes per band, OR across bands — the
+  standard s-curve); exact Jaccard verification runs only on
+  bucket-mates.  Defaults are production-grade: 128 hashes, 32 bands of
+  r = 4 rows (threshold s* = (1/32)^(1/4) ≈ 0.42), NOT toy values —
+  with r < 4 the per-band collision rate for mid-similarity pairs makes
+  the candidate join near-quadratic at corpus scale.
+- bucket-width cap: band buckets wider than ``max_bucket`` are dropped
+  from candidate generation (a bucket of width w contributes w² pairs;
+  mega-buckets are near-identical content that exact dedup already
+  catches).  The cap is part of the operator's *definition* so the SQL
+  oracle mirrors it exactly; ``lsh_bucket_stats`` exposes the width
+  distribution so dropped buckets are auditable, never silent.
 - SimHash: projection → same-signature groupBy.
-- n-gram Jaccard: exact verification, bucketed to bound pair counts.
 
 Hash choice: md5 (hex string) everywhere — present and bit-identical in
 Spark and DuckDB, so every operator has an exact SQL oracle.
@@ -19,8 +28,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_MINHASH = 8
-N_BANDS = 4  # band size 2
+N_MINHASH = 128
+N_BANDS = 32  # rows per band r = 128/32 = 4
+MAX_BUCKET = 64
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -32,33 +42,41 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def _distinct_tokens() -> F.Column:
-    return F.array_distinct(F.split("text", " "))
+def _shingle_set_expr(shingle_n: int) -> str:
+    """Distinct ``shingle_n``-token shingles of ``text`` as strings.
+    shingle_n=1 degenerates to the distinct token set."""
+    if shingle_n == 1:
+        return "array_distinct(split(text, ' '))"
+    return f"""
+        array_distinct(transform(
+          sequence(0, greatest(size(split(text, ' ')) - {shingle_n}, 0)),
+          ss -> array_join(slice(split(text, ' '), ss + 1, {shingle_n}), ' ')))
+    """
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
-    """Per-doc MinHash signature: h_i = min over distinct tokens of
-    md5(i || ':' || token).  Pure projection."""
+def _with_sets(docs: DataFrame, shingle_n: int) -> DataFrame:
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(_shingle_set_expr(shingle_n)).alias("sset"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n_hashes: int = N_MINHASH, shingle_n: int = 1
+) -> DataFrame:
+    """Per-doc MinHash signature over the distinct shingle set:
+    h_i = min over shingles of md5(i || ':' || shingle).  Pure
+    projection — no shuffle."""
     sig = F.expr(
         f"transform(sequence(0, {n_hashes - 1}),"
-        " hi -> array_min(transform(array_distinct(split(text, ' ')),"
-        " ht -> md5(concat(hi, ':', ht)))))"
+        " hi -> array_min(transform(sset, ht -> md5(concat(hi, ':', ht)))))"
     )
-    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), sig.alias("sig"))
+    return _with_sets(docs, shingle_n).select("doc_id", "sset", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, n_hashes: int = N_MINHASH, n_bands: int = N_BANDS, threshold: float = 0.5
-) -> DataFrame:
-    """LSH banding → candidate pairs → exact Jaccard verification.
-
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard ≥
-    threshold.  The exact-verify join re-attaches distinct token sets
-    only for bucket-mates.
-    """
+def _band_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     rows_per_band = n_hashes // n_bands
-    sigs = minhash_signatures(docs, n_hashes)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -67,17 +85,59 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
+
+
+def lsh_bucket_stats(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Band-bucket width distribution: (width, n_buckets).  The audit
+    companion to ``max_bucket`` — shows exactly how much candidate mass
+    a cap drops instead of dropping it silently."""
+    bands = _band_keys(minhash_signatures(docs, n_hashes, shingle_n), n_hashes, n_bands)
+    return (
+        bands.groupBy("band_key")
+        .agg(F.count("*").alias("width"))
+        .groupBy("width")
+        .agg(F.count("*").alias("n_buckets"))
+    )
+
+
+def _lsh_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    shingle_n: int,
+    n_hashes: int,
+    n_bands: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared engine: MinHash band keys → (capped) bucket self-join →
+    candidate pairs → exact set-Jaccard verification on bucket-mates
+    only.  Returns (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b."""
+    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    bands = _band_keys(sigs, n_hashes, n_bands)
+    if max_bucket is not None:
+        # drop mega-buckets BEFORE the pair join: groupBy + join are both
+        # keyed on band_key, so AQE co-partitions them (no extra shuffle
+        # of the wide side) and the w² pair blowup is bounded by the cap.
+        ok = (
+            bands.groupBy("band_key")
+            .agg(F.count("*").alias("_w"))
+            .filter(F.col("_w") <= max_bucket)
+            .select("band_key")
+        )
+        bands = bands.join(ok, "band_key")
     other = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2"))
     cand = (
         bands.join(other, on=[bands["band_key"] == other["bk2"], bands["doc_id"] < other["doc_b"]])
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    toks = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"), _distinct_tokens().alias("tset")
-    )
-    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tset").alias("ta"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tset").alias("tb"))
+    sets_df = sigs.select("doc_id", "sset")
+    a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("ta"))
+    b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("tb"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -85,13 +145,46 @@ def minhash_lsh_pairs(
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("ta", "tb"))
-                / F.size(F.array_union("ta", "tb")),
-                6,
+                F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb")), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    threshold: float = 0.9,
+    shingle_n: int = 1,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs over distinct token sets
+    (shingle_n=1): band-key blocking + exact token-Jaccard verify.
+
+    Note on unigram sets: on small-vocabulary corpora the token-set
+    Jaccard between unrelated documents is inherently high, so the
+    default threshold is 0.9 (near-identical sets) and ``max_bucket``
+    bounds the bucket join; for content-level near-dup detection use
+    ``ngram_jaccard_pairs`` (shingles are discriminative even under a
+    small vocabulary)."""
+    return _lsh_jaccard_pairs(docs, threshold, shingle_n, n_hashes, n_bands, max_bucket)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Exact shingle-set Jaccard near-dup pairs with MinHash-band
+    candidate generation — two documents are compared iff they share a
+    band bucket, so near-dups of *different lengths* are found (unlike
+    any equality blocking) while the pair join stays bounded."""
+    return _lsh_jaccard_pairs(docs, threshold, shingle_n, n_hashes, n_bands, max_bucket)
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
@@ -108,38 +201,3 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
         """
     )
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"), sim.alias("simhash"))
-
-
-def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, shingle_n: int = 3
-) -> DataFrame:
-    """Exact shingle-set Jaccard for pairs bucketed by (lang, n_tokens)
-    — bucket bound keeps the self-join quadratic term local."""
-    sh = F.expr(
-        f"""
-        array_distinct(transform(
-          sequence(0, greatest(size(split(text, ' ')) - {shingle_n}, 0) - 1 + 1),
-          ss -> array_join(slice(split(text, ' '), ss + 1, {shingle_n}), ' ')))
-        """
-    )
-    base = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        "lang",
-        F.size(F.split("text", " ")).alias("n_tokens"),
-        sh.alias("shingles"),
-    )
-    a = base.select("lang", "n_tokens", F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
-    b = base.select(
-        F.col("lang").alias("lang2"), F.col("n_tokens").alias("nt2"),
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"),
-    )
-    return (
-        a.join(b, on=[a["lang"] == b["lang2"], a["n_tokens"] == b["nt2"], a["doc_a"] < b["doc_b"]])
-        .select(
-            "doc_a", "doc_b",
-            F.round(
-                F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )

@@ -148,7 +148,10 @@ class RegexMatchEach(Matcher):
         rgx = f"^(?:{self.rgx})$"
         if self.ignore_case:
             rgx = f"(?i){rgx}"
-        return F.expr(f"forall(split({self.attrib}, ' '), mt -> mt rlike '{rgx}')")
+        # Column-API form: the pattern is passed as a literal, never
+        # interpolated into a SQL string (a quote in rgx cannot break
+        # the expression).
+        return F.forall(F.split(F.col(self.attrib), " "), lambda mt: mt.rlike(rgx))
 
 
 class NumberMatcher(RegexMatchEach):

@@ -109,7 +109,7 @@ persons AS (
 
 CANDIDATES = """
 candidates AS (
-  SELECT md5(s.sentence_id || '|' || s.word_start || '|' || s.word_end
+  SELECT md5('spouse_of' || '|' || s.sentence_id || '|' || s.word_start || '|' || s.word_end
              || '|' || o.word_start || '|' || o.word_end) AS candidate_id,
          s.doc_id, s.did, s.sentence_id, s.position, s.n_tokens,
          s.text AS subj_text, s.word_start AS subj_ws, s.word_end AS subj_we,
@@ -178,7 +178,7 @@ mv AS (
 
 GOLD = """
 gold AS (
-  SELECT md5(did || ':' || (CAST(2 + did % 4 AS INT)
+  SELECT md5('spouse_of' || '|' || did || ':' || (CAST(2 + did % 4 AS INT)
                + CASE WHEN did % 3 = 0 THEN CAST(1 + did % 2 AS INT) ELSE 0 END)
              || '|0|1|' || (CASE WHEN did % 3 = 0 THEN '3|4' ELSE '4|5' END))
            AS candidate_id,

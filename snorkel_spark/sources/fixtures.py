@@ -102,9 +102,12 @@ def gold_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("obj_ws", F.expr("if(pat = 0, 3, 4)"))
         .withColumn("obj_we", F.expr("if(pat = 0, 4, 5)"))
         .select(
-            F.md5(F.concat_ws("|", "sentence_id", "subj_ws", "subj_we", "obj_ws", "obj_we")).alias(
-                "candidate_id"
-            ),
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("spouse_of"), F.col("sentence_id"),
+                    "subj_ws", "subj_we", "obj_ws", "obj_we",
+                )
+            ).alias("candidate_id"),
             F.col("did").cast("string").alias("doc_id"),
             F.expr("if(pat in (0, 1), 1, -1)").cast("int").alias("label"),
             F.expr("concat('E', ei)").alias("subj_entity"),

@@ -33,3 +33,17 @@ def test_tagged_text_helper(spark, candidates, sentences):
     t = with_sentence_tokens(candidates, sentences).withColumn("tagged", get_tagged_text())
     sample = t.filter("cast(doc_id as bigint) % 3 = 0").select("tagged").first()
     assert sample["tagged"].endswith("{{A}} married {{B}}")
+
+
+def test_two_relation_union_no_collision(persons, sentences):
+    """candidate_id includes rel_type: the same span pair extracted for
+    two relation types must yield distinct ids, so a union +
+    dropDuplicates loses nothing."""
+    from snorkel_spark.operators.candidates import extract_candidates
+
+    a = extract_candidates(persons, persons, rel_type="spouse_of", sentences=sentences)
+    b = extract_candidates(persons, persons, rel_type="sibling_of", sentences=sentences)
+    u = a.unionByName(b)
+    n = u.count()
+    assert n == a.count() + b.count()
+    assert u.dropDuplicates(["candidate_id"]).count() == n

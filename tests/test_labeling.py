@@ -73,3 +73,17 @@ def test_filter_unlabeled_and_balancer(spark, candidates, label_matrix):
     counts = {r["label"]: r["count"] for r in sampled.groupBy("label").count().collect()}
     assert counts[-1] == 100  # kept fully
     assert 20 <= counts[1] <= 90  # ~50 of 200
+
+
+def test_lf_error_counters(spark, candidates):
+    from snorkel_spark.functions.labeling import make_lf_error_counters
+
+    def boom(pdf: pd.DataFrame) -> pd.Series:
+        raise RuntimeError("lf crashed")
+
+    lfs = [LF(0, "lf_boom", boom), LF(1, "lf_ok", lambda p: pd.Series(1, index=p.index))]
+    counters = make_lf_error_counters(spark, lfs)
+    out = apply_lfs(candidates, lfs, fault_tolerant=True, error_counters=counters)
+    out.count()  # action → accumulators populated
+    assert counters[0].value > 0  # crashing LF is visible, not silent
+    assert counters[1].value == 0

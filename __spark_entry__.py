@@ -351,9 +351,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return exact_dup_groups(spark.read.parquet(f"{sf}/documents.parquet"))
 
     def dd_minhash_pairs(spark, sf):
+        # production defaults: 128 hashes, 32 bands (r=4), bucket cap 64;
+        # unigram sets → threshold 0.9 (see dedup.py docstring on why
+        # unigram Jaccard is only meaningful near 1.0 under a small vocab)
         from snorkel_spark.operators.dedup import minhash_lsh_pairs
 
-        return minhash_lsh_pairs(spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5)
+        return minhash_lsh_pairs(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def dd_bucket_stats(spark, sf):
+        from snorkel_spark.operators.dedup import lsh_bucket_stats
+
+        return lsh_bucket_stats(spark.read.parquet(f"{sf}/documents.parquet"), shingle_n=3)
 
     def dd_simhash(spark, sf):
         from snorkel_spark.operators.dedup import simhash_signatures
@@ -361,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_signatures(spark.read.parquet(f"{sf}/documents.parquet"))
 
     def dd_ngram_jaccard(spark, sf):
+        # MinHash-band candidate generation + exact 3-shingle Jaccard —
+        # finds the corpus' planted near-dups of differing length
         from snorkel_spark.operators.dedup import ngram_jaccard_pairs
 
         return ngram_jaccard_pairs(spark.read.parquet(f"{sf}/documents.parquet"), threshold=0.5)
@@ -375,10 +385,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lsh_buckets(spark.read.parquet(f"{sf}/embeddings.parquet"))
 
-    def sim_embedding_near_dups(spark, sf):
-        from snorkel_spark.operators.similarity import embedding_near_dups
+    def sim_lsh_pairs(spark, sf):
+        from snorkel_spark.operators.similarity import lsh_neighbor_pairs
+        from snorkel_spark.sources.fixtures import embeddings_with_planted_dups
 
-        return embedding_near_dups(spark.read.parquet(f"{sf}/embeddings.parquet"), threshold=0.5)
+        aug = embeddings_with_planted_dups(spark.read.parquet(f"{sf}/embeddings.parquet"))
+        return lsh_neighbor_pairs(aug, threshold=0.8)
+
+    def sim_embedding_near_dups(spark, sf):
+        # LSH-routed, no label/metadata blocking; planted near-dups make
+        # the result non-vacuous (the raw corpus has max cos ≈ 0.51)
+        from snorkel_spark.operators.similarity import embedding_near_dups
+        from snorkel_spark.sources.fixtures import embeddings_with_planted_dups
+
+        aug = embeddings_with_planted_dups(spark.read.parquet(f"{sf}/embeddings.parquet"))
+        return embedding_near_dups(aug, threshold=0.95)
 
     def mm_media_features(spark, sf):
         from snorkel_spark.operators.multimodal import extract_features, fetch_payloads, media_spans
@@ -433,16 +454,210 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fingerprint": ts_fingerprint,
         "dd_exact_groups": dd_exact_groups,
         "dd_minhash_pairs": dd_minhash_pairs,
+        "dd_bucket_stats": dd_bucket_stats,
         "dd_simhash": dd_simhash,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "sim_cosine_topk": sim_cosine_topk,
         "sim_lsh_buckets": sim_lsh_buckets,
+        "sim_lsh_pairs": sim_lsh_pairs,
         "sim_embedding_near_dups": sim_embedding_near_dups,
         "mm_media_features": mm_media_features,
         "ev_windowed_counts": ev_windowed_counts,
         "ev_sessionize": ev_sessionize,
         "ev_json_prop_sums": ev_json_prop_sums,
     }
+
+
+# ---------------------------------------------------------------- oracle
+# The driver compares Spark vs oracle at this sf (per the contract);
+# the G1 oracle needs the actual label matrix to fit μ̂, so it reads the
+# same parquet the driver will use.  If the path is missing, the G1
+# entries are omitted and the driver falls back to its rows-only check.
+_ORACLE_SF = "/root/testdata/sf0.01"
+
+
+def _g1_oracle_entries() -> dict[str, str]:
+    """Value-checked oracles for the label-model queries (G1/G2).
+
+    The fit is fully deterministic (full-batch Adam, fixed init, no
+    sampling), so: compute the label matrix with DuckDB from the SAME
+    CTE chain every other oracle uses, fit μ̂ with the same NumPy code
+    path the Spark query uses driver-side, materialize μ̂ as a VALUES
+    table, and express the marginal softmax in plain SQL — turning the
+    former rows-only entries into exact hash-checked ones.
+    """
+    import os
+
+    if not os.path.exists(f"{_ORACLE_SF}/documents.parquet"):
+        return {}
+    try:
+        import duckdb
+        import numpy as np
+
+        from snorkel_spark.labelmodel.encoding import compute_O_local
+        from snorkel_spark.labelmodel.model import EPS, LabelModel
+        from snorkel_spark.oracle import PREFIX_LABELS
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{_ORACLE_SF}/documents.parquet')"
+        )
+        L = con.execute(
+            PREFIX_LABELS + " SELECT candidate_id, lf_id, label FROM label_matrix"
+        ).df()
+        con.close()
+        m = 7
+        ids = sorted(L["candidate_id"].unique())
+        idx = {c: i for i, c in enumerate(ids)}
+        dense = np.zeros((len(ids), m), dtype=np.int64)
+        for cid, lf, lab in zip(L["candidate_id"], L["lf_id"], L["label"]):
+            dense[idx[cid], int(lf)] = int(lab)
+        C, n = compute_O_local(dense)
+        lm = LabelModel(m=m).fit(C, n)
+        rows = []
+        for j in range(m):
+            for cp in range(2):
+                label = -1 if cp == 0 else 1
+                for c in range(2):
+                    lmu = float(np.log(max(lm.mu[j * 2 + cp, c], EPS)))
+                    rows.append(f"({j}, {label}, {c}, {lmu!r})")
+        values = ", ".join(rows)
+        logp = [float(np.log(max(b, EPS))) for b in lm.class_balance]
+        scores_cte = f"""
+          factors(lf_id, label, c, log_mu) AS (VALUES {values}),
+          scores AS (
+            SELECT l.candidate_id,
+                   COALESCE(SUM(CASE WHEN f.c = 0 THEN f.log_mu END), 0) + ({logp[0]!r}) AS s0,
+                   COALESCE(SUM(CASE WHEN f.c = 1 THEN f.log_mu END), 0) + ({logp[1]!r}) AS s1
+            FROM label_matrix l JOIN factors f ON f.lf_id = l.lf_id AND f.label = l.label
+            GROUP BY l.candidate_id),
+          lm_marg AS (
+            SELECT candidate_id,
+                   exp(s1 - greatest(s0, s1))
+                     / (exp(s0 - greatest(s0, s1)) + exp(s1 - greatest(s0, s1))) AS pt
+            FROM scores)
+        """
+        return {
+            "g1_label_model_marginals": PREFIX_LABELS
+            + ", "
+            + scores_cte
+            + " SELECT candidate_id, ROUND(pt, 6) AS prob_true FROM lm_marg",
+            "g1_triples_labelmodel": PREFIX_LABELS
+            + ", "
+            + scores_cte
+            + """,
+              linked AS (
+                SELECT c.candidate_id, sa.entity_id AS subj, ob.entity_id AS obj
+                FROM candidates c
+                JOIN alias_names sa ON c.subj_text = sa.alias
+                JOIN alias_names ob ON c.obj_text = ob.alias)
+              SELECT subj, 'spouse_of' AS pred, obj, COUNT(*) AS n_evidence
+              FROM linked JOIN lm_marg USING (candidate_id)
+              WHERE lm_marg.pt > 0.5
+              GROUP BY subj, obj""",
+        }
+    except Exception:
+        return {}
+
+
+def _sset_sql(shingle_n: int) -> str:
+    """DuckDB twin of dedup._shingle_set_expr: L−n+1 shingles (range is
+    exclusive, so the +1 matters — one shingle per window position)."""
+    if shingle_n == 1:
+        return "list_distinct(string_split(text, ' '))"
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len(string_split(text, ' ')) - {shingle_n}, 0) + 1),"
+        f" ss -> array_to_string(string_split(text, ' ')[ss + 1 : ss + {shingle_n}], ' ')))"
+    )
+
+
+def _minhash_cte_sql(n_hashes: int, n_bands: int, shingle_n: int, max_bucket: int) -> str:
+    """Shared CTE chain: sets → signatures → band keys → capped buckets
+    → candidate pairs — the exact mirror of dedup._lsh_jaccard_pairs."""
+    r = n_hashes // n_bands
+    return f"""
+      t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_sset_sql(shingle_n)} AS sset
+            FROM documents),
+      sigs AS (SELECT doc_id, sset,
+                 list_transform(range(0, {n_hashes}),
+                   hi -> list_min(list_transform(sset, ht -> md5(hi || ':' || ht)))) AS sig
+               FROM t),
+      bands AS (SELECT doc_id,
+                  unnest(list_transform(range(0, {n_bands}),
+                    bb -> bb || '|' || array_to_string(sig[bb * {r} + 1 : bb * {r} + {r}], '|'))) AS band_key
+                FROM sigs),
+      okb AS (SELECT band_key FROM bands GROUP BY band_key HAVING COUNT(*) <= {max_bucket}),
+      bands_ok AS (SELECT b.doc_id, b.band_key FROM bands b JOIN okb USING (band_key)),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM bands_ok a JOIN bands_ok b
+                 ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    """
+
+
+def _minhash_pairs_sql(
+    n_hashes: int, n_bands: int, threshold: float, shingle_n: int, max_bucket: int
+) -> str:
+    return (
+        "WITH "
+        + _minhash_cte_sql(n_hashes, n_bands, shingle_n, max_bucket)
+        + f""",
+      verified AS (SELECT c.doc_a, c.doc_b,
+                     ROUND(len(list_intersect(ta.sset, tb.sset))::DOUBLE
+                           / len(list_distinct(ta.sset || tb.sset)), 6) AS jaccard
+                   FROM cand c
+                   JOIN t ta ON ta.doc_id = c.doc_a
+                   JOIN t tb ON tb.doc_id = c.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+    )
+
+
+# augmented embeddings: the DuckDB twin of fixtures.embeddings_with_planted_dups
+_EMB_AUG_CTE = """
+  emb AS (
+    SELECT vec_id, embedding, label FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(range(1, len(embedding) + 1),
+             pi -> CASE WHEN pi = 1 THEN CAST(0.0 AS FLOAT) ELSE embedding[pi] END),
+           label
+    FROM embeddings WHERE vec_id % 10 = 0
+  )
+"""
+
+
+def _lsh_buckets_sql(src: str, n_planes: int, n_tables: int) -> str:
+    """Twin of similarity.lsh_buckets: dim-agnostic pseudo-planes
+    w[g, j] = ((g·D + j)·2654435761) % 97 − 48, g = table·P + plane."""
+    return f"""
+      buckets AS (
+        SELECT vec_id, CAST(tt AS INT) AS table_id,
+          CAST(list_sum(list_transform(range(0, {n_planes}), lp ->
+            CASE WHEN list_sum(list_transform(range(0, len(embedding)),
+                   lj -> embedding[lj + 1]::DOUBLE
+                         * ((((tt * {n_planes} + lp) * len(embedding) + lj) * 2654435761) % 97 - 48)::DOUBLE)) > 0
+                 THEN 1 << lp ELSE 0 END)) AS INT) AS bucket
+        FROM {src}, (SELECT unnest(range(0, {n_tables})) AS tt)
+      )
+    """
+
+
+def _lsh_pairs_sql(threshold: float, n_planes: int, n_tables: int) -> str:
+    return f"""
+      WITH {_EMB_AUG_CTE},
+      {_lsh_buckets_sql("emb", n_planes, n_tables)},
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM buckets a JOIN buckets b
+                 ON a.table_id = b.table_id AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id),
+      verified AS (SELECT c.id_a, c.id_b,
+          ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                  zi -> ea.embedding[zi]::DOUBLE * eb.embedding[zi]::DOUBLE))
+            / (sqrt(list_sum(list_transform(ea.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))
+               * sqrt(list_sum(list_transform(eb.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))), 6) AS cos
+        FROM cand c JOIN emb ea ON ea.vec_id = c.id_a JOIN emb eb ON eb.vec_id = c.id_b)
+      SELECT id_a, id_b, cos FROM verified WHERE cos >= {threshold}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -646,26 +861,12 @@ def oracle_sql() -> dict[str, str]:
           SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
                  MIN(CAST(doc_id AS VARCHAR)) AS min_doc_id
           FROM documents GROUP BY md5(text)""",
-        "dd_minhash_pairs": """
-          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-                            list_distinct(string_split(text, ' ')) AS tset FROM documents),
-          sigs AS (SELECT doc_id, tset,
-                     list_transform(range(0, 8),
-                       hi -> list_min(list_transform(tset, ht -> md5(hi || ':' || ht)))) AS sig
-                   FROM t),
-          bands AS (SELECT doc_id, tset,
-                      unnest(list_transform(range(0, 4),
-                        bb -> bb || '|' || array_to_string(sig[bb * 2 + 1 : bb * 2 + 2], '|'))) AS band_key
-                    FROM sigs),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bands a JOIN bands b
-                     ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
-          SELECT c.doc_a, c.doc_b,
-                 ROUND(len(list_intersect(ta.tset, tb.tset))::DOUBLE
-                       / len(list_distinct(ta.tset || tb.tset)), 6) AS jaccard
-          FROM cand c JOIN t ta ON ta.doc_id = c.doc_a JOIN t tb ON tb.doc_id = c.doc_b
-          WHERE len(list_intersect(ta.tset, tb.tset))::DOUBLE
-                / len(list_distinct(ta.tset || tb.tset)) >= 0.5""",
+        "dd_minhash_pairs": _minhash_pairs_sql(128, 32, 0.9, 1, 64),
+        "dd_bucket_stats": "WITH " + _minhash_cte_sql(128, 32, 3, 64) + """
+          SELECT width, CAST(COUNT(*) AS BIGINT) AS n_buckets FROM (
+            SELECT band_key, CAST(COUNT(*) AS BIGINT) AS width
+            FROM bands GROUP BY band_key)
+          GROUP BY width""",
         "dd_simhash": """
           WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                             list_distinct(string_split(text, ' ')) AS tset FROM documents)
@@ -676,20 +877,7 @@ def oracle_sql() -> dict[str, str]:
                                 THEN 1 ELSE -1 END)) > 0
                    THEN 1::BIGINT << sb ELSE 0 END))::BIGINT AS simhash
           FROM t""",
-        "dd_ngram_jaccard": """
-          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
-                            string_split(text, ' ') AS toks FROM documents),
-          s AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens,
-                  list_distinct(list_transform(range(0, greatest(len(toks) - 3, 0)),
-                    ss -> array_to_string(toks[ss + 1 : ss + 3], ' '))) AS shingles
-                FROM t)
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                       / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-          FROM s a JOIN s b
-            ON a.lang = b.lang AND a.n_tokens = b.n_tokens AND a.doc_id < b.doc_id
-          WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                / len(list_distinct(a.shingles || b.shingles)) >= 0.5""",
+        "dd_ngram_jaccard": _minhash_pairs_sql(128, 32, 0.5, 3, 64),
         "sim_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
           c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
@@ -702,26 +890,11 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
           FROM ranked WHERE rank <= 3""",
-        "sim_lsh_buckets": """
-          SELECT vec_id,
-            list_sum(list_transform(range(0, 4), lp ->
-              CASE WHEN list_sum(list_transform(range(0, 64),
-                     lj -> embedding[lj + 1]::DOUBLE
-                           * (((lp * 64 + lj) * 2654435761) % 97 - 48)::DOUBLE)) > 0
-                   THEN 1 << lp ELSE 0 END))::INT AS bucket
-          FROM embeddings""",
-        "sim_embedding_near_dups": """
-          WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                 ROUND(list_sum(list_transform(range(1, 65),
-                         zi -> a.embedding[zi]::DOUBLE * b.embedding[zi]::DOUBLE))
-                   / (sqrt(list_sum(list_transform(a.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))
-                      * sqrt(list_sum(list_transform(b.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))), 6) AS cos
-          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-          WHERE list_sum(list_transform(range(1, 65),
-                  zi -> a.embedding[zi]::DOUBLE * b.embedding[zi]::DOUBLE))
-                / (sqrt(list_sum(list_transform(a.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))
-                   * sqrt(list_sum(list_transform(b.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))) >= 0.5""",
+        "sim_lsh_buckets": "WITH "
+        + _lsh_buckets_sql("embeddings", 8, 2)
+        + " SELECT vec_id, table_id, bucket FROM buckets",
+        "sim_lsh_pairs": _lsh_pairs_sql(0.8, 8, 2),
+        "sim_embedding_near_dups": _lsh_pairs_sql(0.95, 8, 2),
         "mm_media_features": PREFIX_SPANS
         + """ SELECT doc_id, media_ref, kind,
                  CAST(len(text) AS INT) AS n_bytes,
@@ -748,6 +921,10 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_type, COUNT(*) AS n,
                  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
           FROM events GROUP BY event_type""",
-        # g1_label_model_marginals / g1_triples_labelmodel: non-SQL
-        # (NumPy SGD fit) → rows-only check by design.
+        # g1_label_model_marginals / g1_triples_labelmodel come from
+        # _g1_oracle_entries(): the deterministic fit's μ̂ is
+        # materialized as a VALUES CTE so even the label-model queries
+        # are value-hash-checked (falls back to rows-only if the
+        # fixture path is unavailable).
+        **_g1_oracle_entries(),
     }

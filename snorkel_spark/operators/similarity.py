@@ -1,11 +1,24 @@
 """Similarity search over embedding columns (array<float>): brute-force
-cosine top-k baseline + LSH-bucketed scale path.
+cosine top-k baseline + amplified LSH scale path.
 
 Scale shape: brute-force is queries × corpus — fine when the query set
 broadcasts (small side) and the corpus streams; the LSH path replaces
-the cross product with a bucket equi-join (random-hyperplane signs),
-trading recall for a shuffle-free candidate set.  Dot products run as
-built-in ``zip_with``/``aggregate`` folds — JVM, no Python.
+the cross product with a bucket equi-join.  Amplification is the
+standard AND-OR construction: each of ``n_tables`` tables ANDs
+``n_planes`` random-hyperplane sign bits into one bucket key (2^p
+buckets per table), and candidates are pairs colliding in ANY table —
+recall is tuned by n_tables, bucket width (and so the pair-join cost)
+by n_planes.  At corpus scale, grow n_planes ≈ log2(n / target_bucket)
+so expected bucket width stays constant; a single 4-plane table
+(16 buckets total) would make the pair join O(n²/16), which is why the
+defaults here are 8 planes × 2 tables and both are explicit knobs.
+
+Planes are DETERMINISTIC integer pseudo-planes derived from the
+embedding's own dimensionality — w[g, j] = ((g·D + j)·2654435761) %
+97 − 48 with D = size(embedding), g the global plane index — so any
+dim works (nothing hard-wires 64) and the SQL oracle reproduces the
+signs exactly.  Dot products run as built-in ``zip_with``/``aggregate``
+folds — JVM, no Python.
 """
 
 from __future__ import annotations
@@ -15,6 +28,9 @@ from pyspark.sql import functions as F
 
 _DOT = "aggregate(zip_with({a}, {b}, (vx, vy) -> cast(vx as double) * cast(vy as double)), 0D, (acc, vz) -> acc + vz)"
 _NORM = "sqrt(aggregate({a}, 0D, (acc, vn) -> acc + cast(vn as double) * cast(vn as double)))"
+
+N_PLANES = 8
+N_TABLES = 2
 
 
 def cosine_topk(
@@ -48,56 +64,84 @@ def cosine_topk(
     )
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
-    """Random-hyperplane LSH with DETERMINISTIC integer pseudo-planes
-    (w[p,j] = ((p·64 + j)·2654435761) % 97 − 48) so the SQL oracle can
-    reproduce the signs exactly.  (vec_id, bucket 0..2^p−1)."""
+def lsh_buckets(
+    embeddings: DataFrame, n_planes: int = N_PLANES, n_tables: int = N_TABLES
+) -> DataFrame:
+    """(vec_id, table_id, bucket): per AND-OR table, the bucket is the
+    ``n_planes``-bit sign pattern of the deterministic pseudo-planes.
+    Plane indices derive from ``size(embedding)`` — dim-agnostic; any
+    dimension produces a full, valid bucketing (no silent null-padding).
+    """
     bucket = F.expr(
         f"""
-        aggregate(
-          transform(sequence(0, {n_planes - 1}), lp ->
-            if(aggregate(zip_with(embedding, sequence(lp * 64, lp * 64 + 63),
-                 (le, lj) -> cast(le as double) * cast((lj * 2654435761) % 97 - 48 as double)),
-                 0D, (acc, lx) -> acc + lx) > 0D, shiftleft(1, lp), 0)),
-          0, (acc2, lb) -> acc2 + lb)
+        transform(sequence(0, {n_tables - 1}), tt ->
+          aggregate(
+            transform(sequence(0, {n_planes - 1}), lp ->
+              if(aggregate(zip_with(embedding,
+                   sequence((tt * {n_planes} + lp) * size(embedding),
+                            (tt * {n_planes} + lp) * size(embedding) + size(embedding) - 1),
+                   (le, lj) -> cast(le as double) * cast((lj * 2654435761) % 97 - 48 as double)),
+                   0D, (acc, lx) -> acc + lx) > 0D, shiftleft(1, lp), 0)),
+            0, (acc2, lb) -> acc2 + lb))
         """
     )
-    return embeddings.select("vec_id", bucket.alias("bucket"))
-
-
-def lsh_neighbor_pairs(embeddings: DataFrame, n_planes: int = 4, threshold: float = 0.2) -> DataFrame:
-    """Bucket-join candidate pairs verified by exact cosine ≥ threshold."""
-    b = lsh_buckets(embeddings, n_planes)
-    withb = embeddings.join(b, "vec_id")
-    a = withb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    c = withb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-                     F.col("bucket").alias("bucket2"))
     return (
-        a.join(c, on=[a["bucket"] == c["bucket2"], a["id_a"] < c["id_b"]])
-        .withColumn(
-            "cos",
-            F.expr(_DOT.format(a="ea", b="eb"))
-            / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))),
-        )
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        embeddings.select("vec_id", F.posexplode(bucket).alias("table_id", "bucket"))
+        .select("vec_id", F.col("table_id").cast("int").alias("table_id"), "bucket")
     )
 
 
-def embedding_near_dups(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, bucketed by label to bound
-    the quadratic term (the dedup-stack entry; same shape as LSH verify)."""
-    a = embeddings.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
-                          F.col("label").alias("la"))
-    b = embeddings.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
-                          F.col("label").alias("lb"))
+def lsh_neighbor_pairs(
+    embeddings: DataFrame,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Candidate pairs collide in (table_id, bucket) for ANY table
+    (OR over AND-ed sign bits), then exact cosine ≥ threshold verifies.
+    One shuffle on the composite bucket key; no cross product."""
+    b = lsh_buckets(embeddings, n_planes, n_tables)
+    e = embeddings.select("vec_id", "embedding")
+    a = b.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+    c = b.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("table_id").alias("t2"),
+        F.col("bucket").alias("b2"),
+    )
+    cand = (
+        a.join(c, on=[a["table_id"] == c["t2"], a["bucket"] == c["b2"], a["id_a"] < c["id_b"]])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     return (
-        a.join(b, on=[a["la"] == b["lb"], a["id_a"] < b["id_b"]])
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .withColumn(
+            # round BEFORE thresholding so the SQL oracle (which sees
+            # only 6dp) agrees on boundary values
             "cos",
-            F.expr(_DOT.format(a="ea", b="eb"))
-            / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))),
+            F.round(
+                F.expr(_DOT.format(a="ea", b="eb"))
+                / (F.expr(_NORM.format(a="ea")) * F.expr(_NORM.format(a="eb"))),
+                6,
+            ),
         )
         .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", "cos")
     )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via the amplified LSH path
+    — works on unlabeled corpora (no label/metadata blocking; blocking
+    is the signature itself).  At threshold ≥ 0.95 the two vectors'
+    sign patterns agree on almost every plane, so recall through the
+    bucket join is high by construction."""
+    return lsh_neighbor_pairs(embeddings, n_planes, n_tables, threshold)

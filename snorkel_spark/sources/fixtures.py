@@ -132,3 +132,22 @@ def gold_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def embeddings_with_planted_dups(
+    embeddings: DataFrame, every: int = 10, id_offset: int = 1000000
+) -> DataFrame:
+    """Deterministic near-duplicate augmentation for the similarity
+    operators' driver queries: every ``every``-th vector is copied with
+    component 0 replaced by 0.0f (pure replacement — no float
+    arithmetic, so the DuckDB oracle reproduces it bit-exactly).  The
+    copy's cosine to its source is sqrt(1 − e0²/‖e‖²) ≈ 0.99 for
+    typical components — a planted near-dup of a *different* vector."""
+    plant = embeddings.filter(F.col("vec_id") % every == 0).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> if(i = 0, cast(0.0 as float), x))"
+        ).alias("embedding"),
+        "label",
+    )
+    return embeddings.select("vec_id", "embedding", "label").unionByName(plant)

@@ -63,17 +63,87 @@ def test_cosine_topk_self_excluded_and_sorted(spark, emb):
 
 
 def test_lsh_bucket_recall(spark, emb):
-    """An identical vector pair must land in the same bucket."""
-    from snorkel_spark.operators.similarity import lsh_buckets
+    """An identical vector pair must land in the same bucket in every
+    AND-OR table."""
+    from snorkel_spark.operators.similarity import N_TABLES, lsh_buckets
 
     dup = emb.limit(1).withColumn("vec_id", F.lit(99999))
     b = lsh_buckets(emb.unionByName(dup))
-    two = b.groupBy("bucket").count().agg(F.sum("count")).collect()[0][0]
-    assert two == emb.count() + 1
-    ids = {r["bucket"] for r in b.filter(F.col("vec_id").isin([0, 99999])).collect()}
-    first_bucket = b.filter("vec_id = 0").collect()[0]["bucket"]
-    dup_bucket = b.filter("vec_id = 99999").collect()[0]["bucket"]
-    assert first_bucket == dup_bucket
+    assert b.count() == (emb.count() + 1) * N_TABLES
+    first = {r["table_id"]: r["bucket"] for r in b.filter("vec_id = 0").collect()}
+    dupb = {r["table_id"]: r["bucket"] for r in b.filter("vec_id = 99999").collect()}
+    assert first == dupb and len(first) == N_TABLES
+
+
+def test_lsh_dim_agnostic(spark, emb):
+    """Planes derive from size(embedding): any dim yields a full valid
+    bucketing (no silent null-padding as with hard-wired dim 64)."""
+    from snorkel_spark.operators.similarity import lsh_buckets
+
+    for dim in (16, 48):
+        e = emb.select("vec_id", F.expr(f"slice(embedding, 1, {dim})").alias("embedding"))
+        b = lsh_buckets(e)
+        assert b.filter("bucket is null").count() == 0
+        # a real spread of buckets, not one degenerate value
+        assert b.select("table_id", "bucket").distinct().count() > 10
+
+
+def test_lsh_neighbor_pairs_finds_planted(spark, emb):
+    """Planted perturbed copies (different vectors, cos ≈ 0.99) are
+    recovered through the amplified bucket join — no label blocking."""
+    from snorkel_spark.operators.similarity import embedding_near_dups
+    from snorkel_spark.sources.fixtures import embeddings_with_planted_dups
+
+    aug = embeddings_with_planted_dups(emb, every=10)
+    n_planted = emb.filter("vec_id % 10 = 0").count()
+    found = embedding_near_dups(aug, threshold=0.95)
+    hits = found.filter("id_b = id_a + 1000000").count()
+    # sign-LSH recall at cos≈0.99 with 8 planes × 2 tables ≥ ~90%
+    assert hits >= int(0.7 * n_planted)
+    # and nothing from the raw corpus (max true cos ≈ 0.51)
+    assert found.filter("id_b < 1000000").count() == 0
+
+
+def test_ngram_jaccard_finds_length_differing_near_dups(spark, docs):
+    """The MinHash-band blocking finds near-dups whose token counts
+    DIFFER (the failure mode of any exact-length blocking): plant a
+    copy of a doc with its first token dropped."""
+    from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+
+    plant = docs.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 2, size(split(text, ' ')) - 1), ' ')").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    n_planted = plant.count()
+    pairs = ngram_jaccard_pairs(docs.unionByName(plant), threshold=0.5)
+    hits = pairs.filter(
+        F.abs(F.col("doc_b").cast("long") - F.col("doc_a").cast("long")) == 100000
+    ).count()  # pair order is by doc_id STRING, so the planted id can land on either side
+    assert hits == n_planted  # shingle J ≈ (L−3)/(L−2) ≥ 0.5 always here
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark, docs):
+    """max_bucket is enforced: with a tiny cap, no surviving band bucket
+    is wider than the cap (bounding the w² pair blowup), and the audit
+    stats expose the full width distribution."""
+    from snorkel_spark.operators.dedup import (
+        _band_keys,
+        lsh_bucket_stats,
+        minhash_signatures,
+    )
+
+    stats = lsh_bucket_stats(docs, shingle_n=1)
+    widths = {r["width"]: r["n_buckets"] for r in stats.collect()}
+    assert max(widths) > 4  # the corpus does have wide unigram buckets
+    # mirror the capped candidate path and assert the bound holds
+    bands = _band_keys(minhash_signatures(docs, 128, 1), 128, 32)
+    ok = bands.groupBy("band_key").count().filter("count <= 4")
+    surviving = bands.join(ok.select("band_key"), "band_key")
+    max_w = (
+        surviving.groupBy("band_key").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_w <= 4
 
 
 def test_textstats(spark, docs):

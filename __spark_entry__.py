@@ -143,6 +143,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "sentence_id", "position", "text", "n_tokens"
         )
 
+    def p1b_adversarial_parse(spark, sf):
+        # real splitter/tokenizer on deterministic MESSY text (multi-
+        # sentence, punctuation, multi-space, leading/trailing space)
+        from snorkel_spark.operators.parser import parse_sentences_full
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        adv = docs.selectExpr(
+            "cast(doc_id as string) as doc_id",
+            """
+            case cast(doc_id % 4 as int)
+              when 0 then concat('Dr. ', split(text, ' ')[0], ' met ', split(text, ' ')[1],
+                                 '. They talked!  Then left...')
+              when 1 then concat(split(text, ' ')[0], ',', split(text, ' ')[1],
+                                 ': yes?No. well...  done')
+              when 2 then concat('  ', split(text, ' ')[0], '   ', split(text, ' ')[1], '  ')
+              else concat('(', split(text, ' ')[0], ') [', split(text, ' ')[1],
+                          '] #tag 3.14 end!')
+            end as text
+            """,
+        )
+        raw = adv.selectExpr(
+            "doc_id",
+            "array(named_struct('kind', 'text', 'text', text, 'media_ref', '',"
+            " 'offset', 0)) as spans",
+        )
+        return parse_sentences_full(raw).select(
+            "doc_id", "sentence_id", "position", "text", "n_tokens",
+            F.array_join("tokens", "|").alias("token_str"),
+        )
+
     def p2_lemmas(spark, sf):
         return _sentences(spark, sf).select(
             "sentence_id", F.array_join("lemmas", " ").alias("lemma_text")
@@ -170,6 +200,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ]
         ).apply(_mentions(spark, sf))
         return u.select("sentence_id", "word_start", "word_end", "text")
+
+    def m2b_porter_dictionary(spark, sf):
+        # stemmer='porter': dict {'marries','wifes'} stems to
+        # {'marri','wife'} and matches spans 'married' (ed-rule) and
+        # 'wife' (identity) — different surface forms, same stems
+        m = MT.DictionaryMatch(d={"marries", "wifes"}, stemmer="porter").apply(
+            _mentions(spark, sf)
+        )
+        return m.select("sentence_id", "word_start", "word_end", "text")
+
+    def c1b_ngrams_split(spark, sf):
+        # Ngrams(split_tokens=('-','/')): sub-token spans from a
+        # deterministic hyphenated corpus built from the documents table
+        from snorkel_spark.operators.ngrams import ngram_mentions
+        from snorkel_spark.operators.parser import parse_sentences
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        adv = docs.selectExpr(
+            "cast(doc_id as string) as doc_id",
+            "concat(split(text, ' ')[0], '-', split(text, ' ')[1], ' ',"
+            " split(text, ' ')[2], '/', split(text, ' ')[3]) as text",
+        )
+        raw = adv.selectExpr(
+            "doc_id",
+            "array(named_struct('kind', 'text', 'text', text, 'media_ref', '',"
+            " 'offset', 0)) as spans",
+        )
+        m = ngram_mentions(parse_sentences(raw), n_max=2, split_tokens=("-", "/"))
+        return m.select("sentence_id", "word_start", "word_end", "n", "text")
 
     def m1_longest_dictionary(spark, sf):
         from snorkel_spark.sources import fixtures as FX
@@ -427,10 +486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_interleaved_scan": s7_interleaved_scan,
         "s7_roundtrip": s7_roundtrip,
         "p1_sentences": p1_sentences,
+        "p1b_adversarial_parse": p1b_adversarial_parse,
         "p2_lemmas": p2_lemmas,
         "c1_ngram_counts": c1_ngram_counts,
         "m1_longest_dictionary": m1_longest_dictionary,
         "m2_person_mentions": m2_person_mentions,
+        "m2b_porter_dictionary": m2b_porter_dictionary,
+        "c1b_ngrams_split": c1b_ngrams_split,
         "m3_regex_mentions": m3_regex_mentions,
         "m7_union_matcher": m7_union_matcher,
         "m8_concat_matcher": m8_concat_matcher,
@@ -660,6 +722,17 @@ def _lsh_pairs_sql(threshold: float, n_planes: int, n_tables: int) -> str:
     """
 
 
+def _porter_duck(col: str) -> str:
+    """DuckDB spelling of the Porter span stemmer (same CASE bodies the
+    Spark matcher compiles — see matchers.porter_span_sql)."""
+    from snorkel_spark.operators.matchers import porter_span_sql
+
+    return porter_span_sql(
+        col, transform_fn="list_transform", split_fn="string_split",
+        join_fn="array_to_string",
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from snorkel_spark.oracle import (
         PREFIX_CANDIDATES,
@@ -691,6 +764,34 @@ def oracle_sql() -> dict[str, str]:
         "s7_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "p1_sentences": PREFIX_SENTENCES
         + " SELECT doc_id, sentence_id, position, text, n_tokens FROM sentences",
+        "p1b_adversarial_parse": r"""
+          WITH adv AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'Dr. ' || string_split(text, ' ')[1] || ' met '
+                            || string_split(text, ' ')[2] || '. They talked!  Then left...'
+                WHEN 1 THEN string_split(text, ' ')[1] || ',' || string_split(text, ' ')[2]
+                            || ': yes?No. well...  done'
+                WHEN 2 THEN '  ' || string_split(text, ' ')[1] || '   '
+                            || string_split(text, ' ')[2] || '  '
+                ELSE '(' || string_split(text, ' ')[1] || ') [' || string_split(text, ' ')[2]
+                     || '] #tag 3.14 end!'
+              END AS text
+            FROM documents),
+          runs AS (
+            SELECT doc_id, 0 AS position, si AS sent_idx,
+                   trim(regexp_extract_all(text, '[^.!?]+[.!?]*|[.!?]+')[si + 1]) AS stext
+            FROM adv,
+                 LATERAL unnest(range(0, len(regexp_extract_all(text, '[^.!?]+[.!?]*|[.!?]+')))) AS _r(si)),
+          toks AS (
+            SELECT doc_id, position, sent_idx, stext AS text,
+                   regexp_extract_all(stext, '[A-Za-z0-9]+|[^A-Za-z0-9\s]') AS tokens
+            FROM runs WHERE stext != '')
+          SELECT doc_id, doc_id || ':' || position || ':' || sent_idx AS sentence_id,
+                 CAST(position AS INT) AS position, text,
+                 CAST(len(tokens) AS INT) AS n_tokens,
+                 array_to_string(tokens, '|') AS token_str
+          FROM toks WHERE len(tokens) > 0""",
         "p2_lemmas": PREFIX_SENTENCES
         + """ SELECT sentence_id, array_to_string(list_transform(tokens,
                w -> CASE WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
@@ -707,6 +808,32 @@ def oracle_sql() -> dict[str, str]:
               AND (o.word_start < m.word_start OR m.word_end < o.word_end))""",
         "m2_person_mentions": PREFIX_MENTIONS
         + " SELECT sentence_id, word_start, word_end, text FROM persons",
+        "m2b_porter_dictionary": PREFIX_MENTIONS
+        + f""" SELECT sentence_id, word_start, word_end, text FROM mentions
+              WHERE {_porter_duck("text")} IN ('marri', 'wife')""",
+        "c1b_ngrams_split": """
+          WITH adv AS (
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   string_split(text, ' ')[1] || '-' || string_split(text, ' ')[2] || ' '
+                   || string_split(text, ' ')[3] || '/' || string_split(text, ' ')[4] AS text
+            FROM documents),
+          s AS (SELECT doc_id || ':0' AS sentence_id, string_split(text, ' ') AS toks FROM adv),
+          base AS (
+            SELECT sentence_id, CAST(ws AS INT) AS word_start,
+                   CAST(ws + wn - 1 AS INT) AS word_end, CAST(wn AS INT) AS n,
+                   array_to_string(toks[ws + 1 : ws + wn], ' ') AS text
+            FROM s,
+                 LATERAL unnest(range(0, len(toks))) a(ws),
+                 LATERAL (SELECT unnest([1, 2]) AS wn) b
+            WHERE ws + wn <= len(toks)),
+          subs AS (
+            SELECT sentence_id, CAST(ws AS INT) AS word_start, CAST(ws AS INT) AS word_end,
+                   CAST(1 AS INT) AS n, part AS text
+            FROM s,
+                 LATERAL unnest(range(0, len(toks))) a(ws),
+                 LATERAL unnest(string_split_regex(toks[ws + 1], '[-/]')) p(part)
+            WHERE regexp_matches(toks[ws + 1], '[-/]') AND part != '')
+          SELECT * FROM base UNION ALL SELECT * FROM subs""",
         "m3_regex_mentions": PREFIX_MENTIONS
         + """ SELECT sentence_id, word_start, text FROM mentions
               WHERE regexp_matches(text, '(?i)^(?:anna[0-9]+)$')""",

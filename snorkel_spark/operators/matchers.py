@@ -28,6 +28,69 @@ from pyspark.sql import functions as F
 
 _LEMMA_ONE = "if(length({w}) > 3 and endswith({w}, 's'), substring({w}, 1, length({w}) - 1), lower({w}))"
 
+# ---------------------------------------------------------------------
+# Porter stemmer, step 1a/1b subset (⚠ the reference passes
+# DictionaryMatch(stemmer='porter') to NLTK — snorkel/matchers.py,
+# reconstructed; no NLTK offline, so the high-frequency suffix rules
+# are implemented as portable SQL CASE expressions that run identically
+# under Spark and DuckDB: sses→ss, ies→i, ss→ss, s→ε, eed→ee, ed→ε,
+# ing→ε with length guards approximating the measure>0 condition).
+# Applied per token (multi-token spans stem word-by-word, like the
+# 'inflectional' rule-lemma path).
+# ---------------------------------------------------------------------
+PORTER_STEP1A_SQL = (
+    "CASE WHEN {w} LIKE '%sses' THEN substring({w}, 1, length({w}) - 2)"
+    " WHEN {w} LIKE '%ies' THEN substring({w}, 1, length({w}) - 2)"
+    " WHEN {w} LIKE '%ss' THEN {w}"
+    " WHEN {w} LIKE '%s' AND length({w}) > 3 THEN substring({w}, 1, length({w}) - 1)"
+    " ELSE {w} END"
+)
+PORTER_STEP1B_SQL = (
+    "CASE WHEN {w} LIKE '%eed' AND length({w}) > 4 THEN substring({w}, 1, length({w}) - 1)"
+    " WHEN {w} LIKE '%ed' AND length({w}) > 4 THEN substring({w}, 1, length({w}) - 2)"
+    " WHEN {w} LIKE '%ing' AND length({w}) > 5 THEN substring({w}, 1, length({w}) - 3)"
+    " ELSE {w} END"
+)
+
+
+def porter_stem_word(w: str) -> str:
+    """Python twin of the SQL rules — used to stem the (small,
+    driver-side) dictionary so both sides of the probe agree."""
+    w = w.lower()
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s") and len(w) > 3:
+        w = w[:-1]
+    if w.endswith("eed") and len(w) > 4:
+        w = w[:-1]
+    elif w.endswith("ed") and len(w) > 4:
+        w = w[:-2]
+    elif w.endswith("ing") and len(w) > 5:
+        w = w[:-3]
+    return w
+
+
+def porter_span_sql(
+    col: str,
+    transform_fn: str = "transform",
+    split_fn: str = "split",
+    join_fn: str = "array_join",
+) -> str:
+    """Engine-portable expression: stem every word of a span and re-join
+    with spaces.  The fn params select the Spark (transform/split/
+    array_join) or DuckDB (list_transform/string_split/array_to_string)
+    builtins; the CASE bodies are byte-identical in both dialects."""
+    s1 = PORTER_STEP1A_SQL.format(w="pw")
+    s2 = PORTER_STEP1B_SQL.format(w="pv")
+    return (
+        f"{join_fn}({transform_fn}({transform_fn}("
+        f"{split_fn}(lower({col}), ' '), pw -> {s1}), pv -> {s2}), ' ')"
+    )
+
 
 def maximal_only(matches: DataFrame) -> Column:
     """M1 ``longest_match_only``: drop matches strictly contained in
@@ -75,7 +138,9 @@ class Matcher:
 
 def _normalize(col: Column | str, ignore_case: bool, stemmer: str | None) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    if stemmer == "inflectional":
+    if stemmer == "porter":
+        c = F.expr(porter_span_sql(col))
+    elif stemmer == "inflectional":
         # per-token rule lemma, re-joined (multi-token spans normalize per word)
         c = F.expr(f"array_join(transform(split({col}, ' '), mw -> {_LEMMA_ONE.format(w='mw')}), ' ')")
     elif ignore_case:
@@ -94,7 +159,11 @@ class DictionaryMatch(Matcher):
     attrib: str = "text"
 
     def predicate(self, df: DataFrame) -> Column:
-        words = [w.lower() if self.ignore_case else w for w in self.d]
+        if self.stemmer == "porter":
+            # stem the dict side with the Python twin of the SQL rules
+            words = [" ".join(porter_stem_word(t) for t in w.split(" ")) for w in self.d]
+        else:
+            words = [w.lower() if self.ignore_case else w for w in self.d]
         return _normalize(self.attrib, self.ignore_case, self.stemmer).isin(words)
 
 
@@ -251,7 +320,8 @@ class Concat(Matcher):
                 F.concat_ws(" ", "l_text", "r_text").alias("text"),
             )
             .withColumn(
-                "mention_id", F.md5(F.concat_ws("|", "sentence_id", "word_start", "word_end"))
+                "mention_id",
+                F.md5(F.concat_ws("|", "sentence_id", "word_start", "word_end", "text")),
             )
         )
 

@@ -25,12 +25,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def ngram_mentions(sentences: DataFrame, n_max: int = 3, attrib: str = "tokens") -> DataFrame:
+def ngram_mentions(
+    sentences: DataFrame,
+    n_max: int = 3,
+    attrib: str = "tokens",
+    split_tokens: tuple[str, ...] = (),
+) -> DataFrame:
     """Enumerate all 1..n_max-gram spans of every sentence.
 
     ``attrib`` selects the token attribute to build span text from
     (``tokens`` or ``lemmas``) — mirrors the reference's
     ``attrib='words'/'lemmas'`` knob.
+
+    ``split_tokens``: characters (e.g. ``('-', '/')``) on which
+    single tokens are re-split — for every 1-gram whose token contains
+    a split char, the non-empty sub-parts are emitted as ADDITIONAL
+    spans at the same word index (the reference's
+    ``Ngrams(split_tokens=[...])`` CDR-tutorial knob,
+    ⚠ snorkel/candidates.py::Ngrams ~L40–120, reconstructed).  Still a
+    pure computed-array explode — no Python, no extra shuffle.
     """
     # windows: for n in 1..n_max, for s in 0..L-n → struct(ws=s, we=s+n-1)
     # `sequence(0, L-n)` is invalid when L < n (descending sequence), so
@@ -42,7 +55,7 @@ def ngram_mentions(sentences: DataFrame, n_max: int = 3, attrib: str = "tokens")
                     ws -> named_struct('ws', ws, 'we', ws + wn - 1, 'n', wn)),
           1, greatest(n_tokens - wn + 1, 0))))
     """
-    return (
+    base = (
         sentences.select(
             "doc_id", "sentence_id", "position", "n_tokens", attrib,
             F.explode(F.expr(windows)).alias("w"),
@@ -57,5 +70,28 @@ def ngram_mentions(sentences: DataFrame, n_max: int = 3, attrib: str = "tokens")
             F.col("w.n").cast("int").alias("n"),
             F.expr(f"array_join(slice({attrib}, w.ws + 1, w.n), ' ')").alias("text"),
         )
-        .withColumn("mention_id", F.md5(F.concat_ws("|", "sentence_id", "word_start", "word_end")))
+    )
+    if split_tokens:
+        # char class of the split chars, regex-escaped
+        cls = "[" + "".join("\\" + c for c in split_tokens) + "]"
+        subs = (
+            sentences.select(
+                "doc_id", "sentence_id", "position", "n_tokens",
+                F.posexplode(attrib).alias("ws", "tok"),
+            )
+            .filter(F.col("tok").rlike(cls))
+            .select(
+                "doc_id", "sentence_id", "position", "n_tokens",
+                F.col("ws").cast("int").alias("word_start"),
+                F.col("ws").cast("int").alias("word_end"),
+                F.lit(1).cast("int").alias("n"),
+                F.explode(F.split(F.col("tok"), cls)).alias("text"),
+            )
+            .filter(F.col("text") != "")
+        )
+        base = base.unionByName(subs)
+    # text participates in the hash so a sub-token span at the same
+    # (sentence, word) as its parent keeps a distinct id
+    return base.withColumn(
+        "mention_id", F.md5(F.concat_ws("|", "sentence_id", "word_start", "word_end", "text"))
     )

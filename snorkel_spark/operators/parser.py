@@ -61,7 +61,13 @@ _LEMMA_EXPR = "transform(tokens, lt -> if(length(lt) > 3 and endswith(lt, 's'), 
 
 
 def parse_sentences(raw: DataFrame) -> DataFrame:
-    """raw_documents → sentences via pure built-in expressions."""
+    """raw_documents → sentences via pure built-in expressions.
+
+    Tokenization is whitespace splitting with empty-token filtering —
+    runs of spaces/tabs never produce '' tokens (on a clean
+    single-spaced corpus this is byte-identical to split-on-space).
+    For multi-sentence, punctuated text use ``parse_sentences_full``.
+    """
     return (
         raw.select("doc_id", F.explode("spans").alias("span"))
         .filter("span.kind = 'text' and span.text != ''")
@@ -71,7 +77,54 @@ def parse_sentences(raw: DataFrame) -> DataFrame:
             F.col("span.offset").alias("position"),
             F.col("span.text").alias("text"),
         )
-        .withColumn("tokens", F.split("text", " "))
+        .withColumn("tokens", F.filter(F.split("text", "\\s+"), lambda t: t != F.lit("")))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("lemmas", F.expr(_LEMMA_EXPR))
+        .select("doc_id", "sentence_id", "position", "text", "n_tokens", "tokens", "lemmas")
+    )
+
+
+# Sentence runs: maximal [^.!?]+ stretches plus their trailing
+# terminators.  No lookbehind — the same pattern runs under Java regex
+# (Spark) and RE2 (DuckDB), so the SQL oracle splits identically.
+# Known naivety vs a statistical splitter: abbreviation periods
+# ("Dr.") terminate a sentence (⚠ the reference delegates this to
+# spaCy's sentencizer — snorkel/parser/spacy_parser.py, reconstructed).
+SENTENCE_RUN_RGX = "[^.!?]+[.!?]*|[.!?]+"
+# Word-ish tokens or single punctuation glyphs (spaCy-style shape).
+TOKEN_RGX = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def parse_sentences_full(raw: DataFrame) -> DataFrame:
+    """P1 with real sentence splitting + punctuation-aware tokenization
+    (SURVEY.md §2.2): each text span splits into sentences at
+    ``[.!?]`` boundaries; tokens are alnum runs or single punctuation
+    marks; whitespace runs and empty sentences are dropped.  All
+    built-in expressions (regexp_extract_all / posexplode / filter) —
+    zero Python, whole-stage codegen, and an exact DuckDB twin.
+
+    sentence_id = doc_id:offset:sent_idx (sent_idx indexes the raw
+    sentence runs, pre-filter, so ids are stable across both engines).
+    """
+    return (
+        raw.select("doc_id", F.explode("spans").alias("span"))
+        .filter("span.kind = 'text' and span.text != ''")
+        .select(
+            "doc_id",
+            F.col("span.offset").alias("position"),
+            # patterns passed as literal Columns — NOT interpolated into
+            # SQL strings, where '\s' would be eaten by literal escaping
+            F.posexplode(
+                F.regexp_extract_all(F.col("span.text"), F.lit(SENTENCE_RUN_RGX), F.lit(0))
+            ).alias("sent_idx", "sent_raw"),
+        )
+        .withColumn("text", F.trim(F.col("sent_raw")))
+        .filter("text != ''")
+        .withColumn(
+            "tokens", F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RGX), F.lit(0))
+        )
+        .filter(F.size("tokens") > 0)
+        .withColumn("sentence_id", F.concat_ws(":", "doc_id", "position", "sent_idx"))
         .withColumn("n_tokens", F.size("tokens"))
         .withColumn("lemmas", F.expr(_LEMMA_EXPR))
         .select("doc_id", "sentence_id", "position", "text", "n_tokens", "tokens", "lemmas")

@@ -72,12 +72,14 @@ raw_spans AS (
 )
 """
 
+# tokens mirror parser.parse_sentences: split on whitespace runs,
+# drop empty tokens (identical to split-on-space for clean text).
 SENTENCES = """
 sentences AS (
   SELECT doc_id, did, doc_id || ':' || "offset" AS sentence_id,
          "offset" AS position, text,
-         string_split(text, ' ') AS tokens,
-         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         list_filter(string_split_regex(text, '\\s+'), tk -> tk != '') AS tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), tk -> tk != '')) AS INT) AS n_tokens
   FROM raw_spans WHERE kind = 'text' AND text != ''
 )
 """

@@ -99,3 +99,18 @@ def test_person_matcher_on_fixture(persons):
     assert persons.filter(
         "text not rlike '^(anna[0-9]+ lee[0-9]+|bob[0-9]+ kim[0-9]+)$'"
     ).count() == 0
+
+
+def test_porter_dictionary_match(spark, mentions):
+    """stemmer='porter': inflected dict forms match differently-
+    inflected spans via shared stems (marries/married → marri)."""
+    from snorkel_spark.operators.matchers import DictionaryMatch, porter_stem_word
+
+    assert porter_stem_word("marries") == "marri" == porter_stem_word("married")
+    assert porter_stem_word("wifes") == "wife"
+    assert porter_stem_word("agreed") == "agree"   # eed → ee
+    assert porter_stem_word("joining") == "join"   # ing → ε
+    assert porter_stem_word("caress") == "caress"  # ss unchanged
+    m = DictionaryMatch(d={"marries"}, stemmer="porter").apply(mentions)
+    got = {r["text"] for r in m.select("text").distinct().collect()}
+    assert got == {"married"}

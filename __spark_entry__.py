@@ -253,6 +253,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "obj_text", "obj_ws", "obj_we", "text_between",
         )
 
+    def c5_ternary_candidates(spark, sf):
+        # arity-3 extraction: (person, relation-word, person) — the
+        # planted sentences yield exactly one ternary candidate each
+        from snorkel_spark.operators.candidates import extract_candidates_kary
+
+        ments = _mentions(spark, sf)
+        persons = _persons(spark, sf)
+        mid = MT.DictionaryMatch(d={"married", "wife", "brother"}).apply(
+            ments.filter("n = 1")
+        )
+        t = extract_candidates_kary([persons, mid, persons], rel_type="spouse_rel_3")
+        return t.select(
+            "candidate_id", "sentence_id",
+            "e0_text", "e0_ws", "e1_text", "e1_ws", "e2_text", "e2_ws",
+        )
+
     def h4_tagged_text(spark, sf):
         from snorkel_spark.functions.lf_helpers import get_tagged_text, with_sentence_tokens
 
@@ -497,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_union_matcher": m7_union_matcher,
         "m8_concat_matcher": m8_concat_matcher,
         "c3_candidates": c3_candidates,
+        "c5_ternary_candidates": c5_ternary_candidates,
         "h4_tagged_text": h4_tagged_text,
         "a1_label_matrix": a1_label_matrix,
         "a4_lf_stats": a4_lf_stats,
@@ -847,6 +864,22 @@ def oracle_sql() -> dict[str, str]:
               FROM persons p JOIN mentions m
                 ON m.sentence_id = p.sentence_id AND m.word_start = p.word_end + 1
                AND lower(m.text) = 'married'""",
+        "c5_ternary_candidates": PREFIX_MENTIONS
+        + """ , mid AS (SELECT * FROM mentions
+                        WHERE n = 1 AND lower(text) IN ('married', 'wife', 'brother')),
+          tern AS (
+            SELECT md5('spouse_rel_3' || '|' || s.sentence_id || '|'
+                       || s.word_start || '|' || s.word_end || '|'
+                       || m.word_start || '|' || m.word_end || '|'
+                       || o.word_start || '|' || o.word_end) AS candidate_id,
+                   s.sentence_id,
+                   s.text AS e0_text, s.word_start AS e0_ws,
+                   m.text AS e1_text, m.word_start AS e1_ws,
+                   o.text AS e2_text, o.word_start AS e2_ws
+            FROM persons s
+            JOIN mid m ON m.sentence_id = s.sentence_id AND s.word_end < m.word_start
+            JOIN persons o ON o.sentence_id = s.sentence_id AND m.word_end < o.word_start)
+          SELECT DISTINCT * FROM tern""",
         "c3_candidates": PREFIX_CANDIDATES
         + """ SELECT candidate_id, doc_id, sentence_id, subj_text, subj_ws, subj_we,
                      obj_text, obj_ws, obj_we, text_between FROM candidates""",

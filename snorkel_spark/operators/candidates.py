@@ -116,6 +116,61 @@ def extract_candidates(
     return cand.select(*CANDIDATE_COLS)
 
 
+def extract_candidates_kary(
+    slot_mentions: list[DataFrame],
+    rel_type: str,
+    sentences: DataFrame | None = None,
+) -> DataFrame:
+    """k-ary candidate extraction (arity ≥ 2): one mention table per
+    slot, paired sentence-locally with slots in strict left-to-right
+    DISJOINT order (e_i ends before e_{i+1} starts) — the common k-ary
+    reading of the reference's ``candidate_subclass(name, [args...])``
+    with arbitrary arity (⚠ snorkel/models/candidate.py, reconstructed).
+
+    Spark shape: a chain of equi-joins on ``sentence_id`` with the
+    ordering residuals evaluated inline — each join shuffles on the
+    same well-distributed key, so Catalyst/AQE co-partitions the chain
+    (one exchange per side, no cross product).  Slot columns come out
+    as ``e{i}_text/e{i}_ws/e{i}_we``; ``candidate_id`` hashes rel_type
+    + sentence + every slot span.
+    """
+    k = len(slot_mentions)
+    if k < 2:
+        raise ValueError("need at least 2 slots")
+    cur = slot_mentions[0].select(
+        "doc_id", "sentence_id", "position", "n_tokens",
+        F.col("word_start").alias("e0_ws"), F.col("word_end").alias("e0_we"),
+        F.col("text").alias("e0_text"),
+    )
+    for i in range(1, k):
+        nxt = slot_mentions[i].select(
+            F.col("sentence_id").alias("_sid"),
+            F.col("word_start").alias(f"e{i}_ws"), F.col("word_end").alias(f"e{i}_we"),
+            F.col("text").alias(f"e{i}_text"),
+        )
+        cur = cur.join(
+            nxt,
+            on=[
+                cur["sentence_id"] == nxt["_sid"],
+                F.col(f"e{i - 1}_we") < nxt[f"e{i}_ws"],
+            ],
+        ).drop("_sid")
+    span_cols = [c for i in range(k) for c in (f"e{i}_ws", f"e{i}_we")]
+    cand = (
+        cur.withColumn(
+            "candidate_id",
+            F.md5(F.concat_ws("|", F.lit(rel_type), F.col("sentence_id"), *span_cols)),
+        )
+        .withColumn("rel_type", F.lit(rel_type))
+        .withColumn("split", F.lit(0))
+        .dropDuplicates(["candidate_id"])
+    )
+    out_cols = ["candidate_id", "rel_type", "split", "doc_id", "sentence_id",
+                "position", "n_tokens"]
+    out_cols += [c for i in range(k) for c in (f"e{i}_text", f"e{i}_ws", f"e{i}_we")]
+    return cand.select(*out_cols)
+
+
 def pretagged_candidates(
     mentions_with_tags: DataFrame,
     subj_tag: str,

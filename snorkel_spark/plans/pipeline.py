@@ -8,9 +8,10 @@ Design:
   the same (stage, input_snapshot_ids, config_hash) points at an
   existing snapshot (idempotent resume — deterministic content-hash ids
   make re-runs produce identical bytes);
-- per-partition metrics are collected **declaratively**:
-  ``groupBy(spark_partition_id())`` on the stage output — no RDD access,
-  no Python; rows land in the catalog's ``_metrics.jsonl``;
+- per-partition metrics come from the written snapshot's **parquet
+  footers** (Catalog.file_metrics) — metadata-only reads, so each stage
+  output is scanned exactly once (by its own write); rows land in the
+  catalog's ``_metrics.jsonl``;
 - the reference's ``UDFRunner.clear()`` rerun-replace semantics
   (⚠ snorkel/udf.py ~L1–200, SURVEY.md §2.9 U1) map to "new snapshot
   wins".
@@ -80,21 +81,12 @@ class PipelineContext:
         out = self.catalog.read(self.spark, stage, snap)
         wall_ms = int((time.time() - t0) * 1000)
         if self.collect_metrics:
-            part_rows = (
-                out.groupBy(F.spark_partition_id().alias("partition_id"))
-                .agg(F.count("*").alias("output_rows"))
-                .collect()
-            )
+            # per-partition rows from parquet footers (metadata-only) —
+            # the stage output is scanned exactly once: by its write.
             self.catalog.log_metrics(
                 [
-                    {
-                        "stage": stage,
-                        "snapshot_id": snap,
-                        "partition_id": int(r["partition_id"]),
-                        "output_rows": int(r["output_rows"]),
-                        "wall_ms": wall_ms,
-                    }
-                    for r in part_rows
+                    {"stage": stage, "snapshot_id": snap, "wall_ms": wall_ms, **fm}
+                    for fm in self.catalog.file_metrics(stage, snap)
                 ]
             )
         self.catalog.log_lineage(
@@ -117,7 +109,7 @@ def run_kg_pipeline(
     threshold: float = 0.5,
     n_salts: int = 0,
     use_label_model: bool = True,
-    o_path: str = "selfjoin",
+    o_path: str = "arrow",
     stop_after: str | None = None,
 ) -> dict:
     """parse → candidates → label matrix → label model → link → triples.

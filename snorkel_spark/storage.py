@@ -126,6 +126,36 @@ class Catalog:
             return True
         return any(s["snapshot_id"] == snapshot_id for s in snaps)
 
+    def file_metrics(self, table: str, snapshot_id: int) -> list[dict]:
+        """Per-file row counts read from parquet FOOTERS — a metadata-only
+        read (a few KB per file), never a data scan.  One data file per
+        write task ⇒ file grain IS the per-partition grain the
+        north_rule's lineage+metrics contract asks for.  Replaces the
+        old post-write ``groupBy(spark_partition_id()).count()`` which
+        re-read the whole snapshot (at 100 TB: doubled I/O per stage)."""
+        import pyarrow.parquet as pq
+
+        base = os.path.join(self.root, table, f"snapshot={snapshot_id}")
+        out = []
+        pid = 0
+        for dirpath, _dirs, files in sorted(os.walk(base)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(p).metadata
+                out.append(
+                    {
+                        "partition_id": pid,
+                        "file": os.path.relpath(p, base),
+                        "output_rows": md.num_rows,
+                        "n_row_groups": md.num_row_groups,
+                        "bytes": os.path.getsize(p),
+                    }
+                )
+                pid += 1
+        return out
+
     # ---- lineage / metrics ----------------------------------------
     def _append_jsonl(self, name: str, row: dict) -> None:
         with open(os.path.join(self.root, name), "a") as f:

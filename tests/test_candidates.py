@@ -47,3 +47,20 @@ def test_two_relation_union_no_collision(persons, sentences):
     n = u.count()
     assert n == a.count() + b.count()
     assert u.dropDuplicates(["candidate_id"]).count() == n
+
+
+def test_kary_extraction_ternary(spark, persons, mentions):
+    """Arity-3: (person, relation-word, person) in strict disjoint
+    order — exactly one per planted sentence, all slots ordered."""
+    from snorkel_spark.operators.candidates import extract_candidates_kary
+    from snorkel_spark.operators.matchers import DictionaryMatch
+
+    mid = DictionaryMatch(d={"married", "wife", "brother"}).apply(mentions.filter("n = 1"))
+    t = extract_candidates_kary([persons, mid, persons], rel_type="r3")
+    rows = t.collect()
+    assert len(rows) == 300
+    assert all(r["e0_we"] < r["e1_ws"] and r["e1_we"] < r["e2_ws"] for r in rows)
+    assert len({r["candidate_id"] for r in rows}) == 300
+    # 4-ary degenerates to 0 rows on these sentences (only one relation word)
+    q = extract_candidates_kary([persons, mid, mid, persons], rel_type="r4")
+    assert q.count() == 0

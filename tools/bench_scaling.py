@@ -8,7 +8,10 @@ Sandbox specifics this protocol corrects for:
    this box (md5-burn microbench: 2→8 cores = 3.7× ≈ 0.92 eff, 8→32 =
    2.2× ≈ 0.56 eff, while 32 separate *processes* scale 27.6×).  A real
    cluster runs one JVM per executor, so N→4N executors is proxied at
-   local[2] vs local[8] — below the shared-heap knee.
+   local[2] vs local[8] — below the shared-heap knee.  The spec'd
+   local[8] vs local[32] pair is ALSO measured and reported with the
+   shared-heap caveat attached (it mixes engine scaling with JVM-heap
+   contention that a per-executor-JVM cluster does not have).
 
 2. **Fixed local-mode overhead.**  Each bench run carries ~40 s of
    size-independent cost (query planning/codegen of ~7 stages, python
@@ -17,7 +20,12 @@ Sandbox specifics this protocol corrects for:
    naive wall-clock ratio.  So each level runs at TWO input sizes and
    efficiency uses **marginal throughput** Δrows/Δwall — the fixed
    overhead cancels exactly, leaving the per-row scaling a cluster
-   would see.  Raw walls for every run are reported alongside.
+   would see.  Raw walls for every replicate are reported alongside.
+
+3. **Hypervisor noise.**  Replicates spread up to ±50%; each point is
+   measured SPARK_GRAFT_RUNS times (default 5) and summarized by BOTH
+   the median (headline — robust to one-sided noise) and the min
+   (secondary — the classic noise-free CPU-bound estimator).
 
 Outputs BENCH/BASELINE.md.
 """
@@ -26,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 
@@ -47,104 +56,136 @@ def run_bench(cpus: int, sf_dir: str, repl: int) -> dict:
     return json.loads(line)
 
 
+def _marginal_sps(res: dict, r1: int, r2: int, est) -> float:
+    d_rows = res["rows_r2"] - res["rows_r1"]
+    d_wall = est(res["walls_r2"]) - est(res["walls_r1"])
+    return d_rows / d_wall
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,8").split(",")]
+    levels = [int(x) for x in os.environ.get("SPARK_GRAFT_LEVELS", "2,8,32").split(",")]
     sizes = [int(x) for x in os.environ.get("SPARK_GRAFT_SIZES", "48,192").split(",")]
-    n, n4 = levels
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "5"))
     r1, r2 = sizes
 
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
     results: dict = {}
     for cpus in levels:
         run_bench(cpus, sf_dir, 4)  # warmup (JIT/Arrow/page cache)
-        # min-of-N walls: the host VM shows ±50% hypervisor noise, and
-        # min is the standard noise-free estimator for CPU-bound timing
         a_runs = [run_bench(cpus, sf_dir, r1) for _ in range(runs)]
         b_runs = [run_bench(cpus, sf_dir, r2) for _ in range(runs)]
-        a = min(a_runs, key=lambda r: r["value"])
-        b = min(b_runs, key=lambda r: r["value"])
-        print(f"local[{cpus}] walls@{r1}={[r['value'] for r in a_runs]} "
-              f"walls@{r2}={[r['value'] for r in b_runs]}", flush=True)
-        d_rows = b["queries"]["n_sentences"] - a["queries"]["n_sentences"]
-        d_wall = b["value"] - a["value"]
+        b_med = sorted(b_runs, key=lambda r: r["value"])[len(b_runs) // 2]
         results[cpus] = {
             "walls_r1": [r["value"] for r in a_runs],
             "walls_r2": [r["value"] for r in b_runs],
-            "wall_r1": a["value"], "wall_r2": b["value"],
-            "rows_r1": a["queries"]["n_sentences"], "rows_r2": b["queries"]["n_sentences"],
-            "marginal_sps": d_rows / d_wall,
-            "e2e_sps_r2": b["queries"]["sentences_per_sec"],
-            "stage_breakdown": {k: v for k, v in b["queries"].items() if k.endswith("_sec")},
-            "n_triples": b["queries"]["n_triples"],
-            "n_evidence": b["queries"]["n_evidence"],
+            "rows_r1": a_runs[0]["queries"]["n_sentences"],
+            "rows_r2": b_runs[0]["queries"]["n_sentences"],
+            "stage_breakdown": {k: v for k, v in b_med["queries"].items() if k.endswith("_sec")},
+            "n_triples": b_med["queries"]["n_triples"],
+            "n_evidence": b_med["queries"]["n_evidence"],
         }
-        print(f"local[{cpus}]: wall@{r1}={a['value']} wall@{r2}={b['value']} "
-              f"marginal_sps={results[cpus]['marginal_sps']:.0f}", flush=True)
+        print(f"local[{cpus}] walls@{r1}={results[cpus]['walls_r1']} "
+              f"walls@{r2}={results[cpus]['walls_r2']}", flush=True)
 
-    eff = (results[n4]["marginal_sps"] / results[n]["marginal_sps"]) / (n4 / n)
-    eff_naive = (results[n4]["e2e_sps_r2"] / results[n]["e2e_sps_r2"]) / (n4 / n)
+    for est_name, est in (("median", statistics.median), ("min", min)):
+        for cpus in levels:
+            results[cpus][f"marginal_sps_{est_name}"] = _marginal_sps(
+                results[cpus], r1, r2, est
+            )
+
+    def eff(na: int, nb: int, est_name: str) -> float:
+        return (
+            results[nb][f"marginal_sps_{est_name}"]
+            / results[na][f"marginal_sps_{est_name}"]
+        ) / (nb / na)
+
+    pairs = list(zip(levels, levels[1:]))
     R = results
-    br = R[n4]["stage_breakdown"]
+    br = R[levels[1]]["stage_breakdown"]
 
+    lines = [
+        "# BENCH — measured scaling baseline (sandbox protocol, see BASELINE.md)",
+        "",
+        f"Machine: {os.cpu_count()} cores, Spark 4.1.2 / Java 17, **local mode =",
+        "one shared JVM heap** (allocation-heavy JVM work stops scaling past ~8",
+        "threads here: md5-burn 2→8 cores = 3.7× (0.92 eff) but 8→32 = 2.2×",
+        "(0.56 eff), while 32 separate Python *processes* scale 27.6× — a real",
+        "cluster runs one JVM per executor, so the cluster-relevant N→4N proxy",
+        f"is local[{levels[0]}]→local[{levels[1]}], below the shared-heap knee;",
+        "the spec'd local[8]→local[32] pair is reported too, with this caveat).",
+        "",
+        "Pipeline: full KG chain (synthesize → parse → candidates → LF matrix →",
+        "O stats → label-model fit → marginals → link → salted triples), each",
+        "stage snapshotted to parquet (the pipeline's real shape).  Input:",
+        "deterministic interleaved corpus from sf0.1 documents, replicated",
+        f"{r1}× and {r2}× (distinct (subj,pred,obj) saturates at the synthesis's",
+        "137 entity pairs by design — row throughput is the scaling measure).",
+        "",
+        "## Protocol",
+        "",
+        "Marginal throughput Δrows/Δwall between the two input sizes cancels",
+        f"the ~40 s fixed session overhead.  Each point = {runs} replicates,",
+        "summarized by the median (headline) and the min (secondary); every",
+        "raw wall is listed so the spread is visible.",
+        "",
+        "## Raw walls (seconds)",
+        "",
+        f"| level | walls @×{r1} | walls @×{r2} |",
+        "|---|---|---|",
+    ]
+    for cpus in levels:
+        lines.append(
+            f"| local[{cpus}] | {R[cpus]['walls_r1']} | {R[cpus]['walls_r2']} |"
+        )
+    lines += [
+        "",
+        "## Marginal throughput (sentences/sec)",
+        "",
+        "| level | median est. | min est. |",
+        "|---|---|---|",
+    ]
+    for cpus in levels:
+        lines.append(
+            f"| local[{cpus}] | {R[cpus]['marginal_sps_median']:.0f}"
+            f" | {R[cpus]['marginal_sps_min']:.0f} |"
+        )
+    lines += ["", "## Scaling efficiency (marginal throughput, gate ≥ 0.8)", ""]
+    lines += ["| pair | ×cores | eff (median) | eff (min) | note |", "|---|---|---|---|---|"]
+    for na, nb in pairs:
+        note = (
+            "cluster proxy (below shared-heap knee)"
+            if nb <= 8
+            else "spec'd pair; shared-JVM-heap contention included"
+        )
+        lines.append(
+            f"| local[{na}]→local[{nb}] | {nb // na}× | {eff(na, nb, 'median'):.3f}"
+            f" | {eff(na, nb, 'min'):.3f} | {note} |"
+        )
+    lines += [
+        "",
+        f"Emitted at ×{r2}: {R[levels[1]]['n_triples']} distinct triples,",
+        f"{R[levels[1]]['n_evidence']} evidence rows.",
+        "",
+        f"## Per-stage breakdown (local[{levels[1]}], ×{r2}, median run)",
+        "",
+        "| stage | sec |",
+        "|---|---|",
+        f"| sentences (synthesize+parse+snapshot) | {br['sentences_sec']} |",
+        f"| candidates (ngrams+match+pair+snapshot) | {br['candidates_sec']} |",
+        f"| label matrix (Arrow LF applier+snapshot) | {br['label_matrix_sec']} |",
+        f"| O sufficient stats (self-join) | {br['O_selfjoin_sec']} |",
+        f"| O sufficient stats (Arrow two-phase) | {br['O_treeagg_sec']} |",
+        f"| label-model fit (driver NumPy) | {br['fit_sec']} |",
+        f"| marginals+link+salted triples | {br['triples_sec']} |",
+    ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH — measured scaling baseline (sandbox protocol, see BASELINE.md)
-
-Machine: {os.cpu_count()} cores, Spark 4.1.2 / Java 17, **local mode =
-one shared JVM heap** (allocation-heavy JVM work stops scaling past ~8
-threads here: md5-burn 2→8 cores = 3.7× (0.92 eff) but 8→32 = 2.2×
-(0.56 eff), while 32 separate Python *processes* scale 27.6× — so N→4N
-*executor* scaling is proxied at local[{n}] vs local[{n4}], below the
-shared-heap knee; a real cluster runs one JVM per executor).
-
-Pipeline: full KG chain (synthesize → parse → candidates → LF matrix →
-O stats → label-model fit → marginals → link → salted triples), each
-stage snapshotted to parquet (the pipeline's real shape).  Input:
-deterministic interleaved corpus from sf0.1 documents, replicated
-{r1}× and {r2}× (distinct (subj,pred,obj) saturates at the synthesis's
-137 entity pairs by design — row throughput is the scaling measure).
-
-## Why marginal throughput
-
-Each sandbox run carries ~40 s of size-independent overhead (planning/
-codegen of ~7 stages, worker spin-up) that a 10¹²-doc run amortizes to
-zero.  Efficiency therefore uses Δrows/Δwall between the two input
-sizes — fixed overhead cancels; raw walls are shown so nothing hides.
-The host VM shows ±50% run-to-run hypervisor noise, so each point is
-the min of {runs} runs (the standard noise-free estimator).
-All walls: local[{n}] @×{r1}={R[n]['walls_r1']} @×{r2}={R[n]['walls_r2']};
-local[{n4}] @×{r1}={R[n4]['walls_r1']} @×{r2}={R[n4]['walls_r2']}.
-
-## Results
-
-| level | wall @×{r1} (s) | wall @×{r2} (s) | rows @×{r2} | marginal sentences/sec |
-|---|---|---|---|---|
-| local[{n}]  (N)  | {R[n]['wall_r1']} | {R[n]['wall_r2']} | {R[n]['rows_r2']} | {R[n]['marginal_sps']:.0f} |
-| local[{n4}] (4N) | {R[n4]['wall_r1']} | {R[n4]['wall_r2']} | {R[n4]['rows_r2']} | {R[n4]['marginal_sps']:.0f} |
-
-**Scaling efficiency (marginal throughput) = ({R[n4]['marginal_sps']:.0f} / {R[n]['marginal_sps']:.0f}) / {n4 // n} = {eff:.3f}**
-
-Naive end-to-end wall ratio (fixed overhead included): {eff_naive:.3f} —
-reported for transparency; the marginal number is the cluster-relevant
-one (gate: ≥ 0.8).
-
-Emitted at ×{r2}: {R[n4]['n_triples']} distinct triples,
-{R[n4]['n_evidence']} evidence rows.
-
-## Per-stage breakdown (local[{n4}], ×{r2})
-
-| stage | sec |
-|---|---|
-| sentences (synthesize+parse+snapshot) | {br['sentences_sec']} |
-| candidates (ngrams+match+pair+snapshot) | {br['candidates_sec']} |
-| label matrix (Arrow LF applier+snapshot) | {br['label_matrix_sec']} |
-| O sufficient stats (self-join) | {br['O_selfjoin_sec']} |
-| O sufficient stats (Arrow two-phase) | {br['O_treeagg_sec']} |
-| label-model fit (driver NumPy) | {br['fit_sec']} |
-| marginals+link+salted triples | {br['triples_sec']} |
-""")
-    print(json.dumps({"efficiency_marginal": eff, "efficiency_naive": eff_naive}))
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "pairs": {f"{na}->{nb}": {"eff_median": eff(na, nb, "median"),
+                                   "eff_min": eff(na, nb, "min")}
+                  for na, nb in pairs},
+    }))
 
 
 if __name__ == "__main__":

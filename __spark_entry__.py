@@ -178,6 +178,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sentence_id", F.array_join("lemmas", " ").alias("lemma_text")
         )
 
+    def p2b_dependencies(spark, sf):
+        # dep_parents/dep_labels column hook (shallow heuristic parse)
+        from snorkel_spark.operators.parser import with_dependencies
+
+        d = with_dependencies(_sentences(spark, sf))
+        return d.select(
+            "sentence_id",
+            F.array_join(F.expr("transform(dep_parents, dp -> cast(dp as string))"), "|").alias("parents"),
+            F.array_join("dep_labels", "|").alias("labels"),
+        )
+
     def c1_ngram_counts(spark, sf):
         return (
             _mentions(spark, sf)
@@ -364,6 +375,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(a), int(b)) for a, b in deps] or [(None, None)], "lf_a int, lf_b int"
         ).filter("lf_a is not null")
 
+    def g4b_conditional_dependencies(spark, sf):
+        # G4 v2: conditional-independence screen (matrix-completion
+        # residual) — detects correlation GIVEN Y, unlike g4's marginal
+        # screen which also fires on merely-Y-correlated pairs
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import select_dependencies_conditional
+
+        L = _label_matrix(spark, sf)
+        C, n = compute_O_selfjoin(L, m=7)
+        deps, _dev = select_dependencies_conditional(C, n, m=7, threshold=0.05)
+        return spark.createDataFrame(
+            [(int(a), int(b)) for a, b in sorted(deps)] or [(None, None)],
+            "lf_a int, lf_b int",
+        ).filter("lf_a is not null")
+
     def g1_label_model_marginals(spark, sf):
         from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
         from snorkel_spark.labelmodel.model import LabelModel
@@ -504,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_sentences": p1_sentences,
         "p1b_adversarial_parse": p1b_adversarial_parse,
         "p2_lemmas": p2_lemmas,
+        "p2b_dependencies": p2b_dependencies,
         "c1_ngram_counts": c1_ngram_counts,
         "m1_longest_dictionary": m1_longest_dictionary,
         "m2_person_mentions": m2_person_mentions,
@@ -522,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g5_majority_vote": g5_majority_vote,
         "g6_scorer_counts": g6_scorer_counts,
         "g4_dependencies": g4_dependencies,
+        "g4b_conditional_dependencies": g4b_conditional_dependencies,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
         "n3_salted_entity_counts": n3_salted_entity_counts,
@@ -601,6 +629,20 @@ def _g1_oracle_entries() -> dict[str, str]:
                     lmu = float(np.log(max(lm.mu[j * 2 + cp, c], EPS)))
                     rows.append(f"({j}, {label}, {c}, {lmu!r})")
         values = ", ".join(rows)
+        # g4b: per-pair leave-one-block-out expected cells (the screen
+        # refits with each candidate block masked — mirror those fits)
+        ho_rows = []
+        for j1 in range(m):
+            for j2 in range(j1 + 1, m):
+                lo = LabelModel(m=m, deps={(j1, j2)}).fit(C, n)
+                exp_mat = lo.mu @ np.diag(lo.class_balance) @ lo.mu.T
+                for ai in range(2):
+                    for bi in range(2):
+                        a, b = j1 * 2 + ai, j2 * 2 + bi
+                        ho_rows.append(
+                            f"({j1}, {j2}, {a}, {b}, {float(exp_mat[a, b])!r})"
+                        )
+        ho_values = ", ".join(ho_rows)
         logp = [float(np.log(max(b, EPS))) for b in lm.class_balance]
         scores_cte = f"""
           factors(lf_id, label, c, log_mu) AS (VALUES {values}),
@@ -634,6 +676,17 @@ def _g1_oracle_entries() -> dict[str, str]:
               FROM linked JOIN lm_marg USING (candidate_id)
               WHERE lm_marg.pt > 0.5
               GROUP BY subj, obj""",
+            "g4b_conditional_dependencies": PREFIX_LABELS
+            + f""" , psi AS (SELECT candidate_id, lf_id * 2 + (label + 1) // 2 AS a FROM label_matrix),
+              nn AS (SELECT COUNT(DISTINCT candidate_id)::DOUBLE AS n FROM psi),
+              cells AS (SELECT p1.a AS a, p2.a AS b, COUNT(*)::DOUBLE AS cnt
+                        FROM psi p1 JOIN psi p2 USING (candidate_id) GROUP BY 1, 2),
+              heldout(j1, j2, a, b, e) AS (VALUES {ho_values})
+              SELECT CAST(h.j1 AS INT) AS lf_a, CAST(h.j2 AS INT) AS lf_b
+              FROM heldout h
+              LEFT JOIN cells c ON c.a = h.a AND c.b = h.b
+              GROUP BY 1, 2
+              HAVING MAX(ABS(COALESCE(c.cnt, 0) / (SELECT n FROM nn) - h.e)) > 0.05""",
         }
     except Exception:
         return {}
@@ -813,6 +866,18 @@ def oracle_sql() -> dict[str, str]:
         + """ SELECT sentence_id, array_to_string(list_transform(tokens,
                w -> CASE WHEN len(w) > 3 AND w LIKE '%s' THEN substr(w, 1, len(w) - 1)
                          ELSE lower(w) END), ' ') AS lemma_text FROM sentences""",
+        "p2b_dependencies": PREFIX_SENTENCES
+        + """ SELECT sentence_id,
+                 array_to_string(list_transform(range(0, len(tokens)), di -> CAST(
+                   CASE WHEN di = 0 THEN -1
+                        WHEN di >= 2 AND tokens[di] IN ('of', 'the', 'a') THEN di - 2
+                        ELSE di - 1 END AS VARCHAR)), '|') AS parents,
+                 array_to_string(list_transform(range(0, len(tokens)), di ->
+                   CASE WHEN di = 0 THEN 'root'
+                        WHEN tokens[di + 1] = 'of' THEN 'prep'
+                        WHEN tokens[di + 1] IN ('the', 'a') THEN 'det'
+                        ELSE 'dep' END), '|') AS labels
+              FROM sentences""",
         "c1_ngram_counts": PREFIX_MENTIONS
         + " SELECT sentence_id, COUNT(*) AS n_mentions FROM mentions GROUP BY sentence_id",
         "m1_longest_dictionary": PREFIX_MENTIONS

@@ -234,6 +234,54 @@ def select_dependencies(
     return deps
 
 
+def select_dependencies_conditional(
+    C: np.ndarray,
+    n: int,
+    m: int,
+    cardinality: int = 2,
+    threshold: float = 0.05,
+    class_balance=None,
+) -> tuple[set[tuple[int, int]], np.ndarray]:
+    """G4 v2 — CONDITIONAL-independence screen (the ICML'17 structure-
+    learning target: λ_j ⊥ λ_k GIVEN Y, not marginal independence).
+
+    Leave-one-block-out residual test: for each LF pair, refit μ̂ with
+    that pair's off-diagonal block MASKED (so the fit cannot absorb the
+    dependency by inflating the pair's accuracies — a plain joint-fit
+    residual gets diluted across blocks by the least-squares
+    compromise), then measure how far the held-out observed block sits
+    from the model's implied second moment μ̂ P μ̂ᵀ.  Under
+    λ_j ⊥ λ_k | Y the held-out block is predicted to sampling noise;
+    a true dependency leaves an O(coverage²) gap, while pairs that are
+    merely both correlated with Y (which fool the marginal screen in
+    ``select_dependencies``) are explained by μ̂ and stay quiet.
+    Deterministic — no Gibbs sampling; m(m−1)/2 refits of a (m·k)²
+    problem, each O(1) in corpus size (⚠ the reference optimizes the
+    equivalent pseudolikelihood objective by sampled SGD:
+    snorkel/learning/structure/gen_learning.py, reconstructed).
+
+    Returns (deps, max-deviation matrix indexed [j1, j2]).
+    """
+    k = cardinality
+    O = C.astype(np.float64) / max(n, 1)
+    deps: set[tuple[int, int]] = set()
+    dev = np.zeros((m, m))
+    for j1 in range(m):
+        for j2 in range(j1 + 1, m):
+            lm = LabelModel(
+                m=m, cardinality=k, class_balance=class_balance, deps={(j1, j2)}
+            ).fit(C, n)
+            expected = lm.mu @ np.diag(lm.class_balance) @ lm.mu.T
+            block = np.abs(
+                O[j1 * k : (j1 + 1) * k, j2 * k : (j2 + 1) * k]
+                - expected[j1 * k : (j1 + 1) * k, j2 * k : (j2 + 1) * k]
+            )
+            dev[j1, j2] = block.max()
+            if dev[j1, j2] > threshold:
+                deps.add((j1, j2))
+    return deps, dev
+
+
 # ---- G7: grid search ------------------------------------------------------
 def grid_search(
     C: np.ndarray,

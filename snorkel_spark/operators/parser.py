@@ -169,6 +169,44 @@ def parse_sentences_arrow(raw: DataFrame) -> DataFrame:
     return exploded.mapInPandas(parse, SENTENCE_SCHEMA)
 
 
+# Function words for the shallow dependency heuristic.
+_FUNC_WORDS = "('of', 'the', 'a')"
+
+
+def with_dependencies(sentences: DataFrame) -> DataFrame:
+    """Attach ``dep_parents``/``dep_labels`` parallel arrays — the
+    Sentence schema hook dependency-context LFs need
+    (⚠ snorkel/models/context.py::Sentence carries spaCy dep arrays;
+    reconstructed — SURVEY.md §0).
+
+    No statistical parser runs offline, so this is an HONEST shallow
+    heuristic, not a real parse: token i attaches to the previous
+    content token (function words 'of'/'the'/'a' are skipped one step),
+    labels are 'root'/'prep'/'det'/'dep'.  The point is the column
+    contract + the pure-expression shape (swap in a real parser via
+    ``mapInPandas`` when one is available); LFs written against these
+    columns run unchanged either way.
+    """
+    parents = F.expr(
+        f"""
+        transform(tokens, (dt, di) -> case
+          when di = 0 then -1
+          when di >= 2 and element_at(tokens, di) in {_FUNC_WORDS} then di - 2
+          else di - 1 end)
+        """
+    )
+    labels = F.expr(
+        """
+        transform(tokens, (dt, di) -> case
+          when di = 0 then 'root'
+          when dt = 'of' then 'prep'
+          when dt in ('the', 'a') then 'det'
+          else 'dep' end)
+        """
+    )
+    return sentences.withColumn("dep_parents", parents).withColumn("dep_labels", labels)
+
+
 def word_char_start(tokens_col: str, word_idx_col: str) -> F.Column:
     """Char offset of word *i* under single-space tokenization.
 

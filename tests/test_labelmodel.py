@@ -184,3 +184,41 @@ def test_fit_with_dependency_mask_improves_correlated_recovery(spark):
     e_plain, e_masked = errs(plain), errs(masked)
     # masked fit at least as good on the correlated pair (small slack)
     assert e_masked[[0, 1]].mean() <= e_plain[[0, 1]].mean() + 0.02
+
+
+def test_conditional_screen_vs_marginal():
+    """G4 v2: the conditional-independence screen flags a truly
+    dependent pair (duplicated LF) but NOT a pair that is merely
+    correlated through Y — which fools the marginal screen."""
+    import numpy as np
+
+    from snorkel_spark.labelmodel.encoding import compute_O_local
+    from snorkel_spark.labelmodel.model import (
+        select_dependencies,
+        select_dependencies_conditional,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    Y = rng.choice([-1, 1], n)
+
+    def noisy(acc, cov):
+        lab = np.where(rng.random(n) < acc, Y, -Y)
+        lab[rng.random(n) > cov] = 0
+        return lab
+
+    a = noisy(0.9, 0.7)
+    b = noisy(0.9, 0.6)
+    c = a.copy()  # exact duplicate of a — a true dependency
+    d = noisy(0.85, 0.65)
+    e = noisy(0.8, 0.7)
+    # m=5: the three independent LFs anchor each μ̂ column, so the fit
+    # cannot absorb the duplicate block (with m=3 it can — the model is
+    # under-constrained and the screen would be blind)
+    L = np.stack([a, b, c, d, e], axis=1)
+    C, nn = compute_O_local(L)
+    marg = select_dependencies(C, nn, m=5, threshold=0.05)
+    cond, dev = select_dependencies_conditional(C, nn, m=5, threshold=0.05)
+    assert (0, 2) in cond, (cond, dev.max())
+    assert (0, 1) not in cond, (cond, dev)
+    assert (0, 1) in marg  # the marginal screen's false positive

@@ -519,6 +519,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return sessionize(spark.read.parquet(f"{sf}/events.parquet"))
 
+    def ev_sessionize_stateful(spark, sf):
+        # custom stateful streaming operator (applyInPandasWithState);
+        # non-SQL-expressible → rows-only driver check; batch
+        # equivalence is asserted by pytest instead
+        from pyspark.sql import functions as SF_
+
+        from snorkel_spark.streaming.events import (
+            run_stream_updates_to_memory,
+            sessionize_stateful_streaming,
+        )
+
+        name = "sess_state_" + "".join(c if c.isalnum() else "_" for c in sf)
+        sdf = sessionize_stateful_streaming(spark, f"{sf}/events.parquet")
+        mem = run_stream_updates_to_memory(spark, sdf, name)
+        return mem.groupBy("user_id").agg(
+            SF_.max("n_sessions").alias("n_sessions"),
+            SF_.max("n_events").alias("n_events"),
+        )
+
     def ev_json_prop_sums(spark, sf):
         from snorkel_spark.streaming.events import json_prop_sums
 
@@ -571,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_features": mm_media_features,
         "ev_windowed_counts": ev_windowed_counts,
         "ev_sessionize": ev_sessionize,
+        "ev_sessionize_stateful": ev_sessionize_stateful,
         "ev_json_prop_sums": ev_json_prop_sums,
     }
 
@@ -1131,6 +1151,20 @@ def oracle_sql() -> dict[str, str]:
                  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
           FROM events GROUP BY 1, 2""",
         "ev_sessionize": """
+          WITH o AS (SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR date_diff('microsecond',
+                                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                                    > 30 * 60 * 1000000
+                            THEN 1 ELSE 0 END AS ns
+                     FROM events)
+          SELECT CAST(user_id AS BIGINT) AS user_id,
+                 CAST(SUM(ns) AS BIGINT) AS n_sessions,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM o GROUP BY user_id""",
+        # the stateful-streaming operator's RESULT is the batch
+        # sessionization, so the same SQL twin value-checks it
+        "ev_sessionize_stateful": """
           WITH o AS (SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                                  OR date_diff('microsecond',

@@ -92,6 +92,83 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+def _stage_stream_dir(spark: SparkSession, parquet_path: str):
+    import os
+    import shutil
+    import tempfile
+
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(parquet_path, d)
+        parquet_path = d
+    return schema, parquet_path
+
+
+def sessionize_stateful_streaming(
+    spark: SparkSession, parquet_path: str, gap_minutes: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap sessionization as a CUSTOM STATEFUL streaming operator via
+    ``applyInPandasWithState`` (the north_star's named shape): per-user
+    GroupState carries (last_ts_us, n_sessions, n_events) across
+    micro-batches; each batch is processed vectorized (NumPy diff
+    against the carried timestamp — no per-row Python).  Output mode
+    'update' emits the running totals; with ``Trigger.AvailableNow``
+    the final update per user equals the batch ``sessionize`` result
+    (asserted by test).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema, parquet_path = _stage_stream_dir(spark, parquet_path)
+    stream = spark.readStream.schema(schema).parquet(parquet_path).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        (uid,) = key
+        last_ts, n_sessions, n_events = state.get if state.exists else (-1, 0, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            t_us = np.sort(pdf["ts"].astype("int64").to_numpy()) // 1000
+            first_prev = last_ts if last_ts >= 0 else t_us[0] - gap_us - 1
+            prev = np.concatenate(([first_prev], t_us[:-1]))
+            n_sessions += int((t_us - prev > gap_us).sum())
+            n_events += len(t_us)
+            last_ts = int(t_us[-1])
+        state.update((int(last_ts), int(n_sessions), int(n_events)))
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="last_ts long, n_sessions long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_updates_to_memory(spark: SparkSession, sdf: DataFrame, name: str) -> DataFrame:
+    """Drain an update-mode availableNow stream into a memory table;
+    returns the LAST update per key grain (callers dedupe if multiple
+    micro-batches fired)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def json_prop_sums(events: DataFrame) -> DataFrame:
     """Extract the JSON prop 'k' and aggregate per event_type."""
     return (

@@ -95,3 +95,30 @@ def test_hot_path_discipline():
         if ".rdd.map(" in src or "F.udf(" in src or "@udf(" in src:
             offenders.append(str(p))
     assert offenders == []
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionization ≡ batch sessionize: the
+    GroupState-carried totals' final update equals the batch result."""
+    import pyspark.sql.functions as F
+
+    from snorkel_spark.streaming.events import (
+        run_stream_updates_to_memory,
+        sessionize,
+        sessionize_stateful_streaming,
+    )
+    from tests.conftest import SF
+
+    path = f"{SF}/events.parquet"
+    batch = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in sessionize(spark.read.parquet(path)).collect()
+    }
+    sdf = sessionize_stateful_streaming(spark, path)
+    mem = run_stream_updates_to_memory(spark, sdf, "sess_state")
+    # keep the last update per user (multiple micro-batches possible)
+    final = mem.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("n_sessions").alias("n_sessions")
+    )
+    got = {(r["user_id"], r["n_sessions"], r["n_events"]) for r in final.collect()}
+    assert got == batch

@@ -54,6 +54,21 @@ NOTES = {
         "then final on (subj,pred,obj) — the explicit skew treatment for "
         "hot entities (AQE only fixes skewed *joins*)."
     ),
+    "ngram_jaccard": (
+        "Near-dup via MinHash bands: signatures are a pure projection; "
+        "candidate generation is an equi-join on band_key (the ONLY keys "
+        "that meet are same-bucket), with the bucket-width cap applied as "
+        "a groupBy+join on the SAME key — co-partitioned, so the cap adds "
+        "no extra shuffle of the wide side.  The w² pair blowup is "
+        "bounded by the cap; exact Jaccard verify touches bucket-mates "
+        "only.  No cross product anywhere in the plan."
+    ),
+    "lsh_pairs": (
+        "Amplified embedding LSH: buckets are a projection (posexplode "
+        "over n_tables AND-patterns); the pair join is equi on "
+        "(table_id, bucket); exact cosine verification (zip_with/"
+        "aggregate folds — JVM, no Python) runs on candidates only."
+    ),
 }
 
 
@@ -104,6 +119,12 @@ def main():
     links = cands.select("candidate_id", F.lit("E0").alias("entity_id"))
     trip = canonical_triples(cands, marg, links, links, n_salts=16)
 
+    from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+    from snorkel_spark.operators.similarity import lsh_neighbor_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
     plans = {
         "sentences": sents,
         "person_mentions": persons,
@@ -112,6 +133,8 @@ def main():
         "O_cells": cells,
         "marginals": marg,
         "triples_salted": trip,
+        "ngram_jaccard": ngram_jaccard_pairs(docs),
+        "lsh_pairs": lsh_neighbor_pairs(emb, threshold=0.8),
     }
     out = ["# Physical plans of the hot-path stages\n",
            "Generated by tools/dump_plans.py (sf0.001 fixture; shapes are",

@@ -105,8 +105,12 @@ def main() -> None:
 
     # ---- candidates --------------------------------------------------
     t0 = time.time()
-    mentions = ngram_mentions(sents, n_max=2)
-    persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
+    pm = person_matcher(FX.person_full_names(spark))
+    # dictionary-length pruning: the matcher is the mentions' only
+    # consumer here, so skip generating window sizes it provably rejects
+    n_vals = [n for n in pm.mention_lengths() if 1 <= n <= 2] or None
+    mentions = ngram_mentions(sents, n_max=2, n_values=n_vals)
+    persons = pm.apply(mentions)
     cands_dir = tempfile.mkdtemp(prefix="bench_cands_", dir=_snap_root())
     extract_candidates(persons, persons, sentences=sents).write.mode("overwrite").parquet(cands_dir)
     cands = spark.read.parquet(cands_dir)

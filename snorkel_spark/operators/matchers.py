@@ -186,6 +186,21 @@ class DictionaryJoinMatch(Matcher):
             F.broadcast(keys), on=[probe == keys["__k"]], how="left_semi"
         )
 
+    def mention_lengths(self) -> list[int]:
+        """Distinct token counts of the dictionary entries — the prune
+        set for ``ngram_mentions(n_values=...)``: a span whose length is
+        not in this set can never equi-match, so its generation can be
+        skipped entirely (dictionary-length pruning).  One tiny action
+        on the broadcast side."""
+        rows = (
+            self.dict_df.select(
+                F.size(F.split(F.col(self.dict_col), " ")).alias("_n")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(int(r["_n"]) for r in rows)
+
 
 @dataclass
 class RegexMatchSpan(Matcher):

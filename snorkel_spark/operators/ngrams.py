@@ -30,12 +30,21 @@ def ngram_mentions(
     n_max: int = 3,
     attrib: str = "tokens",
     split_tokens: tuple[str, ...] = (),
+    n_values: list[int] | None = None,
 ) -> DataFrame:
     """Enumerate all 1..n_max-gram spans of every sentence.
 
     ``attrib`` selects the token attribute to build span text from
     (``tokens`` or ``lemmas``) — mirrors the reference's
     ``attrib='words'/'lemmas'`` knob.
+
+    ``n_values``: restrict generation to these window lengths (must be
+    ⊆ 1..n_max).  This is the *dictionary-length pruning* planner rule:
+    when the only consumer is a matcher that provably rejects other
+    lengths (e.g. a full-name gazetteer of bigrams —
+    ``DictionaryJoinMatch.mention_lengths()``), skipping their
+    generation halves-or-better the explode + probe volume without
+    changing any result.  Default None = all of 1..n_max.
 
     ``split_tokens``: characters (e.g. ``('-', '/')``) on which
     single tokens are re-split — for every 1-gram whose token contains
@@ -45,11 +54,16 @@ def ngram_mentions(
     ⚠ snorkel/candidates.py::Ngrams ~L40–120, reconstructed).  Still a
     pure computed-array explode — no Python, no extra shuffle.
     """
-    # windows: for n in 1..n_max, for s in 0..L-n → struct(ws=s, we=s+n-1)
-    # `sequence(0, L-n)` is invalid when L < n (descending sequence), so
-    # clamp via a greatest() guard and slice to the true count.
+    # windows: for n in n_values (default 1..n_max), for s in 0..L-n →
+    # struct(ws=s, we=s+n-1).  `sequence(0, L-n)` is invalid when L < n
+    # (descending sequence), so clamp via a greatest() guard and slice
+    # to the true count.
+    ns = sorted(set(n_values)) if n_values else list(range(1, n_max + 1))
+    if any(n < 1 or n > n_max for n in ns):
+        raise ValueError(f"n_values {ns} not within 1..{n_max}")
+    ns_arr = "array(" + ", ".join(str(n) for n in ns) + ")"
     windows = f"""
-      flatten(transform(sequence(1, {n_max}), wn ->
+      flatten(transform({ns_arr}, wn ->
         slice(
           transform(sequence(0, greatest(n_tokens - wn, 0)),
                     ws -> named_struct('ws', ws, 'we', ws + wn - 1, 'n', wn)),

@@ -147,8 +147,13 @@ def run_kg_pipeline(
         return info
 
     def build_cands():
-        mentions = ngram_mentions(sents, n_max=n_max)
-        persons = person_matcher(FX.person_full_names(spark)).apply(mentions)
+        pm = person_matcher(FX.person_full_names(spark))
+        # dictionary-length pruning: the matcher is the only consumer of
+        # the mention space in this pipeline, so skip generating window
+        # lengths it provably rejects (results identical, explode halved)
+        n_vals = [n for n in pm.mention_lengths() if 1 <= n <= n_max] or None
+        mentions = ngram_mentions(sents, n_max=n_max, n_values=n_vals)
+        persons = pm.apply(mentions)
         return extract_candidates(persons, persons, sentences=sents)
 
     cands, s2, sk = ctx.run_stage("candidates", {"sentences": s1}, build_cands)

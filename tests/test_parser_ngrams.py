@@ -106,3 +106,19 @@ def test_ngram_split_tokens(spark):
     assert sub["anti"] == (0, 0) and sub["virus"] == (0, 0)  # same word index as parent
     assert sub["a"] == (2, 2) and sub["b"] == (2, 2)
     assert len({r["mention_id"] for r in rows}) == len(rows)  # ids all distinct
+
+
+def test_dictionary_length_pruning_identical_matches(spark, sentences, persons):
+    """ngram_mentions(n_values=dict lengths) yields the SAME matcher
+    output as full enumeration — the prune is result-invariant."""
+    from snorkel_spark.operators.matchers import person_matcher
+    from snorkel_spark.operators.ngrams import ngram_mentions
+    from snorkel_spark.sources import fixtures as FX
+
+    pm = person_matcher(FX.person_full_names(spark))
+    lengths = pm.mention_lengths()
+    assert lengths == [2]  # full-name gazetteer is bigrams only
+    pruned = pm.apply(ngram_mentions(sentences, n_max=2, n_values=lengths))
+    full = persons.select("mention_id")
+    assert pruned.select("mention_id").exceptAll(full).count() == 0
+    assert full.exceptAll(pruned.select("mention_id")).count() == 0

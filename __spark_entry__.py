@@ -289,6 +289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def a1_label_matrix(spark, sf):
         return _label_matrix(spark, sf)
 
+    def a2_features(spark, sf):
+        from snorkel_spark.functions.features import featurize_candidates
+
+        return featurize_candidates(_candidates(spark, sf)).select(
+            "candidate_id", "feature", "value"
+        )
+
     def a4_lf_stats(spark, sf):
         from snorkel_spark.functions.analytics import lf_stats
 
@@ -509,6 +516,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = media_spans(synthesize_raw_documents(spark, sf))
         return extract_features(fetch_payloads(m), fake=True)
 
+    def mm_frame_sample(spark, sf):
+        from snorkel_spark.operators.multimodal import fetch_payloads, frame_sample, media_spans
+        from snorkel_spark.sources.interleaved import synthesize_raw_documents
+
+        m = media_spans(synthesize_raw_documents(spark, sf))
+        return frame_sample(fetch_payloads(m))
+
     def ev_windowed_counts(spark, sf):
         from snorkel_spark.streaming.events import windowed_counts
 
@@ -562,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c5_ternary_candidates": c5_ternary_candidates,
         "h4_tagged_text": h4_tagged_text,
         "a1_label_matrix": a1_label_matrix,
+        "a2_features": a2_features,
         "a4_lf_stats": a4_lf_stats,
         "a5_candidate_coverage": a5_candidate_coverage,
         "a7_filter_unlabeled": a7_filter_unlabeled,
@@ -588,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_pairs": sim_lsh_pairs,
         "sim_embedding_near_dups": sim_embedding_near_dups,
         "mm_media_features": mm_media_features,
+        "mm_frame_sample": mm_frame_sample,
         "ev_windowed_counts": ev_windowed_counts,
         "ev_sessionize": ev_sessionize,
         "ev_sessionize_stateful": ev_sessionize_stateful,
@@ -977,6 +993,18 @@ def oracle_sql() -> dict[str, str]:
           FROM candidates c JOIN sent_toks s ON c.sentence_id = s.sid""",
         "a1_label_matrix": PREFIX_LABELS
         + " SELECT candidate_id, lf_id, label FROM label_matrix",
+        "a2_features": PREFIX_CANDIDATES
+        + """ , feats AS (
+            SELECT candidate_id, unnest(
+              list_transform(tokens_between, fb -> 'BTW_' || fb)
+              || list_transform(range(0, greatest(len(tokens_between) - 1, 0)),
+                   fj -> 'BTW_BI_' || tokens_between[fj + 1] || '_' || tokens_between[fj + 2])
+              || ['DIST_' || least(CAST(floor(len(tokens_between) / 3.0) AS INT), 5)]
+              || ['SUBJ_SHAPE_' || regexp_replace(subj_text, '[0-9]', '#', 'g')]
+              || ['OBJ_SHAPE_' || regexp_replace(obj_text, '[0-9]', '#', 'g')]
+            ) AS feature
+            FROM candidates)
+          SELECT DISTINCT candidate_id, feature, CAST(1 AS INT) AS value FROM feats""",
         "a4_lf_stats": PREFIX_LABELS
         + """ , nc AS (SELECT COUNT(*)::DOUBLE AS n FROM candidates),
           per_cand AS (SELECT candidate_id, COUNT(*) AS n_labels FROM label_matrix GROUP BY candidate_id),
@@ -1146,6 +1174,18 @@ def oracle_sql() -> dict[str, str]:
                  CAST(list_sum(list_transform(range(1, len(text) + 1),
                    mi -> ascii(substr(text, mi, 1)))) % 997 AS INT) AS feature
           FROM raw_spans WHERE kind != 'text'""",
+        "mm_frame_sample": PREFIX_SPANS
+        + """ , media AS (SELECT doc_id, media_ref, kind, text AS caption
+                          FROM raw_spans WHERE kind != 'text'),
+          frames AS (
+            SELECT doc_id, media_ref, kind, CAST(fi AS INT) AS frame_idx,
+                   substr(caption, fi * 4 + 1, 8) AS fr
+            FROM media,
+                 LATERAL unnest(range(0, (len(caption) + 3) // 4)) _f(fi))
+          SELECT doc_id, media_ref, kind, frame_idx,
+                 CAST(list_sum(list_transform(range(1, len(fr) + 1),
+                        mi -> ascii(substr(fr, mi, 1)))) % 997 AS INT) AS frame_feature
+          FROM frames""",
         "ev_windowed_counts": """
           SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
                  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value

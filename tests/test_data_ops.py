@@ -174,3 +174,25 @@ def test_multimodal_plumbing(spark, raw):
     assert all(0 <= r["feature"] < 997 and r["n_bytes"] > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         _decode_bytes(b"xx", "image", fake=False)
+
+
+def test_frame_sample_and_resize(spark, raw):
+    """Frame fan-out count = ceil(n_bytes/stride); resize truncates
+    payloads and preserves row count (schema contract intact)."""
+    from snorkel_spark.operators.multimodal import (
+        fetch_payloads,
+        frame_sample,
+        media_spans,
+        resize_stub,
+    )
+
+    m = fetch_payloads(media_spans(raw)).cache()
+    fr = frame_sample(m, stride=4, frame_bytes=8)
+    one = m.limit(1).collect()[0]
+    got = fr.filter(
+        (F.col("doc_id") == one["doc_id"]) & (F.col("media_ref") == one["media_ref"])
+    ).count()
+    assert got == (one["n_bytes"] + 3) // 4
+    rz = resize_stub(m, max_bytes=5)
+    assert rz.filter("n_bytes > 5").count() == 0
+    assert rz.count() == m.count()

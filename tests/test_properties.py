@@ -95,3 +95,30 @@ def test_majority_vote_bounds_property(spark, rows):
         s = grp["label"].sum()
         want[cid] = 1.0 if s > 0 else (0.0 if s < 0 else 0.5)
     assert got == want
+
+
+def test_porter_python_twin_matches_duckdb_rules():
+    """Property: the Python porter_stem_word twin and the portable SQL
+    CASE rules (DuckDB spelling) agree on every word — the guarantee
+    that dictionary-side (Python) and span-side (SQL) normalization
+    can never drift."""
+    import duckdb
+
+    from snorkel_spark.operators.matchers import porter_span_sql, porter_stem_word
+
+    # suffix-focused word set: every rule boundary plus random-ish stems
+    stems = ["marr", "wiv", "caress", "agre", "join", "cri", "s", "as",
+             "mass", "pon", "feed", "bleed", "sing", "thing", "x"]
+    sufs = ["", "s", "ss", "es", "ies", "sses", "ed", "eed", "ing", "ings"]
+    words = sorted({st + su for st in stems for su in sufs} | {"a", "I", "Dr"})
+    expr = porter_span_sql(
+        "w", transform_fn="list_transform", split_fn="string_split",
+        join_fn="array_to_string",
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    got = dict(con.execute(
+        f"SELECT w, {expr} FROM (VALUES {vals}) t(w)"
+    ).fetchall())
+    for w in words:
+        assert got[w] == porter_stem_word(w), (w, got[w], porter_stem_word(w))

@@ -138,6 +138,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return reassembled_text(synthesize_raw_documents(spark, sf))
 
+    def s1_tsv_roundtrip(spark, sf):
+        # S1 TSVDocPreprocessor: materialize the corpus as name\ttext
+        # lines, read back through the distributed TSV reader — the
+        # oracle is the source table itself (exact roundtrip)
+        from snorkel_spark.sources.preprocessors import tsv_doc_preprocessor
+
+        d = "/tmp/s1_tsv_" + "".join(c if c.isalnum() else "_" for c in sf)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        docs.selectExpr(
+            "concat(cast(doc_id as string), '\\t', text) as line"
+        ).write.mode("overwrite").text(d)
+        return tsv_doc_preprocessor(spark, d).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text"
+        )
+
+    def s4_xml_roundtrip(spark, sf):
+        # S4 XMLMultiDocPreprocessor: corpus as a CDR/PubTator-shaped
+        # XML file, parsed back via the ElementTree mapInPandas pass
+        import os
+
+        from snorkel_spark.sources.preprocessors import xml_multidoc_preprocessor
+
+        d = "/tmp/s4_xml_" + "".join(c if c.isalnum() else "_" for c in sf)
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select(F.col("doc_id").cast("string"), "text")
+            .collect()
+        )
+        with open(f"{d}/corpus.xml", "w") as f:
+            f.write("<corpus>")
+            for r in rows:
+                f.write(
+                    f"<document><id>{r['doc_id']}</id>"
+                    f"<passage>{r['text']}</passage></document>"
+                )
+            f.write("</corpus>")
+        return xml_multidoc_preprocessor(spark, d).select("doc_id", "text")
+
     def p1_sentences(spark, sf):
         return _sentences(spark, sf).select(
             "doc_id", "sentence_id", "position", "text", "n_tokens"
@@ -560,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "s7_interleaved_scan": s7_interleaved_scan,
         "s7_roundtrip": s7_roundtrip,
+        "s1_tsv_roundtrip": s1_tsv_roundtrip,
+        "s4_xml_roundtrip": s4_xml_roundtrip,
         "p1_sentences": p1_sentences,
         "p1b_adversarial_parse": p1b_adversarial_parse,
         "p2_lemmas": p2_lemmas,
@@ -868,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         "s7_interleaved_scan": PREFIX_SPANS
         + ' SELECT doc_id, "offset", kind, text, media_ref FROM raw_spans',
         "s7_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "s1_tsv_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "s4_xml_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "p1_sentences": PREFIX_SENTENCES
         + " SELECT doc_id, sentence_id, position, text, n_tokens FROM sentences",
         "p1b_adversarial_parse": r"""

@@ -177,6 +177,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             f.write("</corpus>")
         return xml_multidoc_preprocessor(spark, d).select("doc_id", "text")
 
+    def s2_text_files_roundtrip(spark, sf):
+        # S2 TextDocPreprocessor: one doc per file, doc_id = file name
+        import os
+
+        from snorkel_spark.sources.preprocessors import text_doc_preprocessor
+
+        d = "/tmp/s2_txt_" + "".join(c if c.isalnum() else "_" for c in sf)
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter("doc_id % 100 = 0")
+            .select(F.col("doc_id").cast("string"), "text")
+            .collect()
+        )
+        for r in rows:
+            with open(f"{d}/{r['doc_id']}.txt", "w") as f:
+                f.write(r["text"])
+        return text_doc_preprocessor(spark, f"{d}/*.txt").select("doc_id", "text")
+
+    def s3_csv_paths_roundtrip(spark, sf):
+        # S3 CSVPathsPreprocessor: a CSV of file paths, each delegated
+        # to the S2 reader (builds on s2's staged files)
+        import os
+
+        from snorkel_spark.sources.preprocessors import csv_paths_preprocessor
+
+        d = "/tmp/s2_txt_" + "".join(c if c.isalnum() else "_" for c in sf)
+        os.makedirs(d, exist_ok=True)
+        rows = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter("doc_id % 200 = 0")
+            .select(F.col("doc_id").cast("string"), "text")
+            .collect()
+        )
+        for r in rows:
+            with open(f"{d}/{r['doc_id']}.txt", "w") as f:
+                f.write(r["text"])
+        with open(f"{d}/paths.csv", "w") as f:
+            for r in rows:
+                f.write(f"{d}/{r['doc_id']}.txt\n")
+        return csv_paths_preprocessor(spark, f"{d}/paths.csv").select("doc_id", "text")
+
     def p1_sentences(spark, sf):
         return _sentences(spark, sf).select(
             "doc_id", "sentence_id", "position", "text", "n_tokens"
@@ -421,6 +463,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(a), int(b)) for a, b in deps] or [(None, None)], "lf_a int, lf_b int"
         ).filter("lf_a is not null")
 
+    def g3_learned_lf_stats(spark, sf):
+        # learned per-LF coverage/accuracy from the DISTRIBUTED O path;
+        # the oracle fits the same model from DuckDB's label matrix —
+        # a true cross-engine check of the sufficient-statistics path
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import LabelModel
+
+        L = _label_matrix(spark, sf)
+        C, n = compute_O_selfjoin(L, m=7)
+        lm = LabelModel(m=7).fit(C, n)
+        return spark.createDataFrame(
+            [
+                (s["lf_id"], round(s["learned_coverage"], 6), round(s["learned_accuracy"], 6))
+                for s in lm.learned_lf_stats()
+            ],
+            "lf_id int, learned_coverage double, learned_accuracy double",
+        )
+
     def g4b_conditional_dependencies(spark, sf):
         # G4 v2: conditional-independence screen (matrix-completion
         # residual) — detects correlation GIVEN Y, unlike g4's marginal
@@ -600,6 +660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s7_interleaved_scan": s7_interleaved_scan,
         "s7_roundtrip": s7_roundtrip,
         "s1_tsv_roundtrip": s1_tsv_roundtrip,
+        "s2_text_files_roundtrip": s2_text_files_roundtrip,
+        "s3_csv_paths_roundtrip": s3_csv_paths_roundtrip,
         "s4_xml_roundtrip": s4_xml_roundtrip,
         "p1_sentences": p1_sentences,
         "p1b_adversarial_parse": p1b_adversarial_parse,
@@ -625,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_scorer_counts": g6_scorer_counts,
         "g4_dependencies": g4_dependencies,
         "g4b_conditional_dependencies": g4b_conditional_dependencies,
+        "g3_learned_lf_stats": g3_learned_lf_stats,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
         "n3_salted_entity_counts": n3_salted_entity_counts,
@@ -735,7 +798,16 @@ def _g1_oracle_entries() -> dict[str, str]:
                      / (exp(s0 - greatest(s0, s1)) + exp(s1 - greatest(s0, s1))) AS pt
             FROM scores)
         """
+        stats_values = ", ".join(
+            f"({s['lf_id']}, {round(s['learned_coverage'], 6)!r},"
+            f" {round(s['learned_accuracy'], 6)!r})"
+            for s in lm.learned_lf_stats()
+        )
         return {
+            "g3_learned_lf_stats": f"""
+              SELECT CAST(lf_id AS INT) AS lf_id,
+                     learned_coverage, learned_accuracy
+              FROM (VALUES {stats_values}) t(lf_id, learned_coverage, learned_accuracy)""",
             "g1_label_model_marginals": PREFIX_LABELS
             + ", "
             + scores_cte
@@ -910,6 +982,12 @@ def oracle_sql() -> dict[str, str]:
         + ' SELECT doc_id, "offset", kind, text, media_ref FROM raw_spans',
         "s7_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "s1_tsv_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "s2_text_files_roundtrip": """
+          SELECT CAST(doc_id AS VARCHAR) || '.txt' AS doc_id, text
+          FROM documents WHERE doc_id % 100 = 0""",
+        "s3_csv_paths_roundtrip": """
+          SELECT CAST(doc_id AS VARCHAR) || '.txt' AS doc_id, text
+          FROM documents WHERE doc_id % 200 = 0""",
         "s4_xml_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "p1_sentences": PREFIX_SENTENCES
         + " SELECT doc_id, sentence_id, position, text, n_tokens FROM sentences",

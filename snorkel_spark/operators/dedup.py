@@ -19,8 +19,14 @@ Scale notes (the whole point of these shapes):
   distribution so dropped buckets are auditable, never silent.
 - SimHash: projection → same-signature groupBy.
 
-Hash choice: md5 (hex string) everywhere — present and bit-identical in
-Spark and DuckDB, so every operator has an exact SQL oracle.
+Hash choice is a backend knob: ``hash_backend='md5'`` (default, hex
+string — present and bit-identical in Spark and DuckDB, so every
+operator has an exact SQL oracle) or ``'xxhash64'`` (JVM integer hash,
+~an order of magnitude cheaper per shingle — the production choice at
+real scale; no DuckDB twin, so gate queries keep md5).  Both run the
+identical banding/verification plan; because candidates are
+exact-verified, the final pair set is insensitive to the backend up to
+banding recall (tested).
 """
 
 from __future__ import annotations
@@ -61,27 +67,44 @@ def _with_sets(docs: DataFrame, shingle_n: int) -> DataFrame:
     )
 
 
+def _hash_fn_sql(hash_backend: str) -> str:
+    if hash_backend not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_backend must be 'md5' or 'xxhash64', got {hash_backend!r}")
+    return hash_backend
+
+
 def minhash_signatures(
-    docs: DataFrame, n_hashes: int = N_MINHASH, shingle_n: int = 1
+    docs: DataFrame,
+    n_hashes: int = N_MINHASH,
+    shingle_n: int = 1,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Per-doc MinHash signature over the distinct shingle set:
-    h_i = min over shingles of md5(i || ':' || shingle).  Pure
-    projection — no shuffle."""
+    h_i = min over shingles of hash(i || ':' || shingle).  Pure
+    projection — no shuffle.  ``hash_backend``: 'md5' (hex string,
+    DuckDB-oracle-exact) or 'xxhash64' (bigint, ~10× cheaper — the
+    at-scale default; signature cost is n_hashes × |shingle set| hashes
+    per doc, so the backend is THE constant factor of this stage)."""
+    fn = _hash_fn_sql(hash_backend)
     sig = F.expr(
         f"transform(sequence(0, {n_hashes - 1}),"
-        " hi -> array_min(transform(sset, ht -> md5(concat(hi, ':', ht)))))"
+        f" hi -> array_min(transform(sset, ht -> {fn}(concat(hi, ':', ht)))))"
     )
     return _with_sets(docs, shingle_n).select("doc_id", "sset", sig.alias("sig"))
 
 
 def _band_keys(sigs: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     rows_per_band = n_hashes // n_bands
+    # cast-to-string inside the join keeps one expression for both hash
+    # backends (md5 → string already; xxhash64 → bigint)
     return sigs.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_bands - 1}),"
-                f" bb -> concat(bb, '|', array_join(slice(sig, bb * {rows_per_band} + 1, {rows_per_band}), '|')))"
+                f" bb -> concat(bb, '|', array_join(transform("
+                f"slice(sig, bb * {rows_per_band} + 1, {rows_per_band}),"
+                f" sv -> cast(sv as string)), '|')))"
             )
         ).alias("band_key"),
     )
@@ -92,11 +115,14 @@ def lsh_bucket_stats(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     shingle_n: int = 1,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Band-bucket width distribution: (width, n_buckets).  The audit
     companion to ``max_bucket`` — shows exactly how much candidate mass
     a cap drops instead of dropping it silently."""
-    bands = _band_keys(minhash_signatures(docs, n_hashes, shingle_n), n_hashes, n_bands)
+    bands = _band_keys(
+        minhash_signatures(docs, n_hashes, shingle_n, hash_backend), n_hashes, n_bands
+    )
     return (
         bands.groupBy("band_key")
         .agg(F.count("*").alias("width"))
@@ -112,11 +138,12 @@ def _lsh_jaccard_pairs(
     n_hashes: int,
     n_bands: int,
     max_bucket: int | None,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Shared engine: MinHash band keys → (capped) bucket self-join →
     candidate pairs → exact set-Jaccard verification on bucket-mates
     only.  Returns (doc_a, doc_b, jaccard ≥ threshold), doc_a < doc_b."""
-    sigs = minhash_signatures(docs, n_hashes, shingle_n)
+    sigs = minhash_signatures(docs, n_hashes, shingle_n, hash_backend)
     bands = _band_keys(sigs, n_hashes, n_bands)
     if max_bucket is not None:
         # drop mega-buckets BEFORE the pair join: groupBy + join are both
@@ -159,6 +186,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.9,
     shingle_n: int = 1,
     max_bucket: int | None = MAX_BUCKET,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs over distinct token sets
     (shingle_n=1): band-key blocking + exact token-Jaccard verify.
@@ -169,7 +197,9 @@ def minhash_lsh_pairs(
     bounds the bucket join; for content-level near-dup detection use
     ``ngram_jaccard_pairs`` (shingles are discriminative even under a
     small vocabulary)."""
-    return _lsh_jaccard_pairs(docs, threshold, shingle_n, n_hashes, n_bands, max_bucket)
+    return _lsh_jaccard_pairs(
+        docs, threshold, shingle_n, n_hashes, n_bands, max_bucket, hash_backend
+    )
 
 
 def ngram_jaccard_pairs(
@@ -179,12 +209,15 @@ def ngram_jaccard_pairs(
     n_hashes: int = N_MINHASH,
     n_bands: int = N_BANDS,
     max_bucket: int | None = MAX_BUCKET,
+    hash_backend: str = "md5",
 ) -> DataFrame:
     """Exact shingle-set Jaccard near-dup pairs with MinHash-band
     candidate generation — two documents are compared iff they share a
     band bucket, so near-dups of *different lengths* are found (unlike
     any equality blocking) while the pair join stays bounded."""
-    return _lsh_jaccard_pairs(docs, threshold, shingle_n, n_hashes, n_bands, max_bucket)
+    return _lsh_jaccard_pairs(
+        docs, threshold, shingle_n, n_hashes, n_bands, max_bucket, hash_backend
+    )
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:

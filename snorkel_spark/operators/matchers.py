@@ -363,3 +363,16 @@ def person_matcher(alias_dict: DataFrame, **kw) -> DictionaryJoinMatch:
     """M5 ``PersonMatcher`` equivalent: gazetteer NER via the broadcast
     alias dictionary (no spaCy offline — SURVEY.md §2.2 P2 note)."""
     return DictionaryJoinMatch(dict_df=alias_dict, dict_col="alias", **kw)
+
+
+def person_matcher_ner(**kw) -> RegexMatchEach:
+    """M5 with the REFERENCE's exact shape: ``PersonMatcher =
+    RegexMatchEach(attrib='ner_tags', rgx='PERSON')``
+    (⚠ snorkel/matchers.py ~L290–330, reconstructed) — every token of
+    the span carries the PERSON tag.  Requires mentions built with
+    ``ngram_mentions(carry_attribs=('ner_tags',))`` over sentences
+    passed through ``parser.with_ner_tags``.  Unlike the gazetteer
+    join, this matches ANY all-PERSON span (e.g. adjacent names), which
+    is the reference semantics."""
+    kw.setdefault("ignore_case", False)
+    return RegexMatchEach(rgx="PERSON", attrib="ner_tags", **kw)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -87,6 +88,28 @@ def _decode_bytes(payload: bytes, kind: str, fake: bool):
     return sum(payload) % 997
 
 
+def _flat_buffer(payloads: pd.Series):
+    """Concatenate a bytes Series into one uint8 buffer + per-row start
+    offsets/lengths — the NumPy view every vectorized kernel below works
+    on (no per-element Python past the single ``join``)."""
+    lens = payloads.str.len().to_numpy(dtype=np.int64)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else np.zeros(0, np.int64)
+    return buf, starts, lens
+
+
+def _byte_sums(payloads: pd.Series) -> np.ndarray:
+    """Vectorized per-row byte sums: one reduceat over the flat buffer
+    (zero-length rows handled: a zero-length segment spans no bytes, so
+    consecutive non-empty starts stay contiguous)."""
+    buf, starts, lens = _flat_buffer(payloads)
+    sums = np.zeros(len(lens), dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        sums[nz] = np.add.reduceat(buf, starts[nz])
+    return sums
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -111,28 +134,38 @@ def frame_sample(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "media_ref": [], "kind": [], "frame_idx": [],
-                   "frame_feature": []}
-            for did, mref, kind, payload in zip(
-                pdf["doc_id"], pdf["media_ref"], pdf["kind"], pdf["payload"]
-            ):
-                for fi, start in enumerate(range(0, len(payload), stride)):
-                    fr = payload[start : start + frame_bytes]
-                    out["doc_id"].append(did)
-                    out["media_ref"].append(mref)
-                    out["kind"].append(kind)
-                    out["frame_idx"].append(fi)
-                    out["frame_feature"].append(sum(fr) % 997)
-            if out["doc_id"]:
-                yield pd.DataFrame(
-                    {
-                        "doc_id": out["doc_id"],
-                        "media_ref": out["media_ref"],
-                        "kind": out["kind"],
-                        "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
-                        "frame_feature": pd.Series(out["frame_feature"], dtype="int32"),
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            buf, row_starts, lens = _flat_buffer(pdf["payload"])
+            n_frames = -(-lens // stride)  # ceil; 0 frames for empty rows
+            total = int(n_frames.sum())
+            if total == 0:
+                continue
+            # fan-out indices, all vectorized: which row each frame
+            # belongs to, and its index within that row
+            row_idx = np.repeat(np.arange(len(lens)), n_frames)
+            frame_off = np.concatenate(([0], np.cumsum(n_frames)[:-1]))
+            frame_idx = np.arange(total) - np.repeat(frame_off, n_frames)
+            # absolute [start, end) byte windows (frames may overlap
+            # when frame_bytes > stride), clipped to the row
+            w_start = row_starts[row_idx] + frame_idx * stride
+            w_end = np.minimum(w_start + frame_bytes, row_starts[row_idx] + lens[row_idx])
+            # one reduceat over interleaved start/end boundaries sums
+            # every window; pad one byte so end == len(buf) is a valid
+            # boundary (windows are never empty: start < row end)
+            bounds = np.empty(total * 2, dtype=np.int64)
+            bounds[0::2], bounds[1::2] = w_start, w_end
+            padded = np.concatenate([buf, np.zeros(1, np.int64)])
+            feats = np.add.reduceat(padded, bounds)[0::2] % 997
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[row_idx],
+                    "media_ref": pdf["media_ref"].to_numpy()[row_idx],
+                    "kind": pdf["kind"].to_numpy()[row_idx],
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_feature": feats.astype("int32"),
+                }
+            )
 
     return media_with_payload.mapInPandas(run, FRAME_SCHEMA)
 
@@ -144,7 +177,7 @@ def resize_stub(media_with_payload: DataFrame, max_bytes: int = 16) -> DataFrame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = pdf["payload"].map(lambda b: b[:max_bytes])
+            resized = pdf["payload"].str.slice(0, max_bytes)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -163,10 +196,11 @@ def extract_features(media_with_payload: DataFrame, fake: bool = True) -> DataFr
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                _decode_bytes(p, k, fake)
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            if not fake:
+                # the honest stub: raising goes through the same check
+                # a real decoder would replace
+                _decode_bytes(b"", "any", fake)
+            feats = _byte_sums(pdf["payload"]) % 997
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

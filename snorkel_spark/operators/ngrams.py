@@ -31,6 +31,7 @@ def ngram_mentions(
     attrib: str = "tokens",
     split_tokens: tuple[str, ...] = (),
     n_values: list[int] | None = None,
+    carry_attribs: tuple[str, ...] = (),
 ) -> DataFrame:
     """Enumerate all 1..n_max-gram spans of every sentence.
 
@@ -53,6 +54,13 @@ def ngram_mentions(
     ``Ngrams(split_tokens=[...])`` CDR-tutorial knob,
     ⚠ snorkel/candidates.py::Ngrams ~L40–120, reconstructed).  Still a
     pure computed-array explode — no Python, no extra shuffle.
+
+    ``carry_attribs``: additional sentence parallel-array columns (e.g.
+    ``pos_tags``/``ner_tags`` from ``parser.with_pos_tags``/
+    ``with_ner_tags``) whose span slice is carried onto each mention as
+    a space-joined string of the same name — so matchers probe them
+    exactly like ``text`` (the reference's ``attrib='ner_tags'``
+    contract).  Computed in the same explode projection: free.
     """
     # windows: for n in n_values (default 1..n_max), for s in 0..L-n →
     # struct(ws=s, we=s+n-1).  `sequence(0, L-n)` is invalid when L < n
@@ -69,9 +77,11 @@ def ngram_mentions(
                     ws -> named_struct('ws', ws, 'we', ws + wn - 1, 'n', wn)),
           1, greatest(n_tokens - wn + 1, 0))))
     """
+    src_cols = ["doc_id", "sentence_id", "position", "n_tokens", attrib,
+                *[c for c in carry_attribs if c != attrib]]
     base = (
         sentences.select(
-            "doc_id", "sentence_id", "position", "n_tokens", attrib,
+            *src_cols,
             F.explode(F.expr(windows)).alias("w"),
         )
         .select(
@@ -83,14 +93,23 @@ def ngram_mentions(
             F.col("w.we").cast("int").alias("word_end"),
             F.col("w.n").cast("int").alias("n"),
             F.expr(f"array_join(slice({attrib}, w.ws + 1, w.n), ' ')").alias("text"),
+            *[
+                F.expr(f"array_join(slice({c}, w.ws + 1, w.n), ' ')").alias(c)
+                for c in carry_attribs
+            ],
         )
     )
-    if split_tokens:
+    if split_tokens and 1 in ns:
+        # Sub-spans are 1-grams at the parent's word index, so they only
+        # exist when 1 is in the effective n-value set — combining
+        # dictionary-length pruning (e.g. n_values=[2]) with split_tokens
+        # must not resurrect 1-gram rows the pruning contract excludes.
         # char class of the split chars, regex-escaped
         cls = "[" + "".join("\\" + c for c in split_tokens) + "]"
         subs = (
             sentences.select(
                 "doc_id", "sentence_id", "position", "n_tokens",
+                *[c for c in carry_attribs if c != attrib],
                 F.posexplode(attrib).alias("ws", "tok"),
             )
             .filter(F.col("tok").rlike(cls))
@@ -99,7 +118,12 @@ def ngram_mentions(
                 F.col("ws").cast("int").alias("word_start"),
                 F.col("ws").cast("int").alias("word_end"),
                 F.lit(1).cast("int").alias("n"),
-                F.explode(F.split(F.col("tok"), cls)).alias("text"),
+                # array_distinct: a token with repeated identical
+                # sub-parts ('a-a') must emit ONE row, not two rows that
+                # collide on mention_id (same sentence/ws/we/text)
+                F.explode(F.array_distinct(F.split(F.col("tok"), cls))).alias("text"),
+                # a sub-span inherits its parent token's attribute value
+                *[F.expr(f"element_at({c}, ws + 1)").alias(c) for c in carry_attribs],
             )
             .filter(F.col("text") != "")
         )

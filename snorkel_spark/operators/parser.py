@@ -169,6 +169,99 @@ def parse_sentences_arrow(raw: DataFrame) -> DataFrame:
     return exploded.mapInPandas(parse, SENTENCE_SCHEMA)
 
 
+# ---------------------------------------------------------------------
+# Token-attribute columns: pos_tags / ner_tags parallel arrays — the
+# reference ``Sentence`` schema contract LFs and NER matchers bind to
+# (⚠ snorkel/models/context.py::Sentence ~L100–220 carries spaCy
+# pos_tags/ner_tags; reconstructed — SURVEY.md §0).  No statistical
+# tagger exists offline, so POS is an honest rule tagger (Penn-ish
+# coarse tags, deterministic, byte-identical in Spark and DuckDB) and
+# NER is gazetteer-driven.  Both are pure projections — no shuffle, no
+# Python — so at 100 TB they ride the existing parse scan for free.
+# ---------------------------------------------------------------------
+
+# Engine-portable POS rule CASE: {w} = token slot, {re} = regex fn
+# (Spark: regexp_like, DuckDB: regexp_matches — both partial-match, so
+# patterns carry their own anchors).  Order matters: first hit wins.
+POS_CASE_SQL = (
+    "CASE WHEN {re}({w}, '^[0-9]+([.][0-9]+)?$') THEN 'CD'"
+    " WHEN lower({w}) IN ('the', 'a', 'an') THEN 'DT'"
+    " WHEN lower({w}) IN ('of', 'in', 'on', 'at', 'by', 'with', 'from', 'to') THEN 'IN'"
+    " WHEN lower({w}) IN ('and', 'or', 'but') THEN 'CC'"
+    " WHEN lower({w}) IN ('he', 'she', 'it', 'they', 'we', 'you', 'i') THEN 'PRP'"
+    " WHEN {re}({w}, '^[^A-Za-z0-9]+$') THEN 'PUNCT'"
+    " WHEN length({w}) > 4 AND {w} LIKE '%ing' THEN 'VBG'"
+    " WHEN length({w}) > 4 AND {w} LIKE '%ed' THEN 'VBD'"
+    " WHEN length({w}) > 3 AND {w} LIKE '%ly' THEN 'RB'"
+    " WHEN {re}({w}, '^[A-Z]') THEN 'NNP'"
+    " WHEN length({w}) > 3 AND {w} LIKE '%s' THEN 'NNS'"
+    " ELSE 'NN' END"
+)
+
+
+def with_pos_tags(sentences: DataFrame) -> DataFrame:
+    """Attach ``pos_tags`` (parallel to ``tokens``): rule POS tagger —
+    numbers→CD, function words→DT/IN/CC/PRP, punctuation→PUNCT,
+    -ing/-ed/-ly suffixes→VBG/VBD/RB, Capitalized→NNP, plural-ish→NNS,
+    else NN.  Pure ``transform`` expression with an exact DuckDB twin
+    (the same CASE via ``POS_CASE_SQL``)."""
+    case = POS_CASE_SQL.format(w="pt", re="regexp_like")
+    return sentences.withColumn(
+        "pos_tags", F.expr(f"transform(tokens, pt -> {case})")
+    )
+
+
+def with_ner_tags(
+    sentences: DataFrame,
+    names: DataFrame,
+    tag: str = "PERSON",
+    alias_col: str = "alias",
+    other: str = "O",
+) -> DataFrame:
+    """Attach ``ner_tags`` (parallel to ``tokens``): gazetteer NER — a
+    token is tagged iff it is part of a gazetteer name occurrence
+    (1-token names: exact match; 2-token names: the token plus its
+    left OR right neighbor forms the name).  The gazetteer is collected
+    driver-side (it is a small dim, same discipline as the broadcast
+    alias dict) and embedded as literal hash maps → O(1) probes inside
+    one ``transform`` projection, no shuffle.  For gazetteers too large
+    to inline (≫10⁵), tag via the token-level broadcast-join variant
+    instead (explode + ``DictionaryJoinMatch`` + collect_list) — same
+    column contract.
+
+    Mirrors the reference's spaCy ``ner_tags`` array the NER matchers
+    bind to (⚠ snorkel/matchers.py PersonMatcher =
+    RegexMatchEach(attrib='ner_tags', rgx='PERSON') ~L290–330)."""
+    aliases = sorted({r[0] for r in names.select(alias_col).distinct().collect()})
+    unis = [a for a in aliases if " " not in a]
+    bis = [a for a in aliases if len(a.split(" ")) == 2]
+    longer = [a for a in aliases if len(a.split(" ")) > 2]
+    if longer:
+        raise ValueError(f"with_ner_tags supports 1- and 2-token names; got {longer[:3]}")
+
+    def lit_map(keys):
+        pairs = []
+        for k in keys:
+            pairs.extend((F.lit(k), F.lit(True)))
+        return F.create_map(*pairs) if pairs else None
+
+    uni_map, bi_map = lit_map(unis), lit_map(bis)
+
+    def tag_token(t, i):
+        toks = F.col("tokens")
+        cond = F.lit(False)
+        if uni_map is not None:
+            cond = cond | F.coalesce(F.map_contains_key(uni_map, t), F.lit(False))
+        if bi_map is not None:
+            nxt = F.concat(t, F.lit(" "), F.get(toks, i + F.lit(1)))
+            prv = F.concat(F.get(toks, i - F.lit(1)), F.lit(" "), t)
+            cond = cond | F.coalesce(F.map_contains_key(bi_map, nxt), F.lit(False))
+            cond = cond | F.coalesce(F.map_contains_key(bi_map, prv), F.lit(False))
+        return F.when(cond, F.lit(tag)).otherwise(F.lit(other))
+
+    return sentences.withColumn("ner_tags", F.transform("tokens", tag_token))
+
+
 # Function words for the shallow dependency heuristic.
 _FUNC_WORDS = "('of', 'the', 'a')"
 

@@ -34,16 +34,7 @@ def windowed_counts_streaming(
 ) -> DataFrame:
     """Same aggregation as a streaming query with a watermark; run with
     ``Trigger.AvailableNow`` to drain the source and stop."""
-    import os
-    import shutil
-    import tempfile
-
-    schema = spark.read.parquet(parquet_path).schema
-    if os.path.isfile(parquet_path):
-        # the file stream source requires a DIRECTORY; stage single files
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(parquet_path, d)
-        parquet_path = d
+    schema, parquet_path = _stage_stream_dir(spark, parquet_path)
     stream = spark.readStream.schema(schema).parquet(parquet_path)
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -92,17 +83,26 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFra
     )
 
 
+_STAGE_MEMO: dict = {}
+
+
 def _stage_stream_dir(spark: SparkSession, parquet_path: str):
+    """File-stream sources need a DIRECTORY; stage single files into a
+    temp dir once per (source path) — memoized so repeated streaming
+    queries over the same parquet don't re-copy."""
     import os
     import shutil
     import tempfile
 
+    if parquet_path in _STAGE_MEMO:
+        return _STAGE_MEMO[parquet_path]
     schema = spark.read.parquet(parquet_path).schema
+    staged = parquet_path
     if os.path.isfile(parquet_path):
-        d = tempfile.mkdtemp(prefix="stream_src_")
-        shutil.copy(parquet_path, d)
-        parquet_path = d
-    return schema, parquet_path
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        shutil.copy(parquet_path, staged)
+    _STAGE_MEMO[parquet_path] = (schema, staged)
+    return schema, staged
 
 
 def sessionize_stateful_streaming(
@@ -116,6 +116,14 @@ def sessionize_stateful_streaming(
     'update' emits the running totals; with ``Trigger.AvailableNow``
     the final update per user equals the batch ``sessionize`` result
     (asserted by test).
+
+    Ordering: all Arrow chunks of a micro-batch are concatenated and
+    sorted ONCE before the gap diff, so out-of-order delivery *within*
+    a micro-batch (multiple chunks / files) cannot produce a negative
+    diff.  Late arrivals that land in a *later* micro-batch than a
+    newer timestamp are still counted against the carried ``last_ts``
+    (streaming state cannot retro-sort history); such cross-micro-batch
+    late data may undercount sessions vs the batch semantics of record.
     """
     import numpy as np
     import pandas as pd
@@ -131,10 +139,9 @@ def sessionize_stateful_streaming(
     def fn(key, pdfs, state):
         (uid,) = key
         last_ts, n_sessions, n_events = state.get if state.exists else (-1, 0, 0)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            t_us = np.sort(pdf["ts"].astype("int64").to_numpy()) // 1000
+        chunks = [pdf["ts"].astype("int64").to_numpy() for pdf in pdfs if len(pdf)]
+        if chunks:
+            t_us = np.sort(np.concatenate(chunks)) // 1000
             first_prev = last_ts if last_ts >= 0 else t_us[0] - gap_us - 1
             prev = np.concatenate(([first_prev], t_us[:-1]))
             n_sessions += int((t_us - prev > gap_us).sum())

@@ -123,6 +123,32 @@ def test_ngram_jaccard_finds_length_differing_near_dups(spark, docs):
     assert hits == n_planted  # shingle J ≈ (L−3)/(L−2) ≥ 0.5 always here
 
 
+def test_ngram_jaccard_backend_equivalence(spark, docs):
+    """hash_backend='xxhash64' (integer, the at-scale choice) yields the
+    SAME verified pair set as the md5 oracle-parity default, and the
+    gate-query params (32 hashes / 16 bands) also reproduce it — exact
+    verification makes the result insensitive to both knobs here."""
+    from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+
+    plant = docs.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("array_join(slice(split(text, ' '), 2, size(split(text, ' ')) - 1), ' ')").alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(plant)
+
+    def pairset(**kw):
+        return {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(corpus, threshold=0.5, **kw).collect()
+        }
+
+    base = pairset()
+    assert pairset(hash_backend="xxhash64") == base
+    assert pairset(n_hashes=32, n_bands=16) == base
+    assert pairset(n_hashes=32, n_bands=16, hash_backend="xxhash64") == base
+
+
 def test_lsh_bucket_cap_bounds_candidates(spark, docs):
     """max_bucket is enforced: with a tiny cap, no surviving band bucket
     is wider than the cap (bounding the w² pair blowup), and the audit

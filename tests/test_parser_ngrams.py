@@ -108,6 +108,74 @@ def test_ngram_split_tokens(spark):
     assert len({r["mention_id"] for r in rows}) == len(rows)  # ids all distinct
 
 
+def test_pos_tags_rules(spark):
+    """Rule POS tagger: one tag per token, each rule exercised."""
+    from snorkel_spark.operators.parser import parse_sentences, with_pos_tags
+
+    text = "Anna married the dogs quickly and 3.14 walking , of"
+    raw = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": text, "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    r = with_pos_tags(parse_sentences(raw)).collect()[0]
+    got = dict(zip(r["tokens"], r["pos_tags"]))
+    assert got == {
+        "Anna": "NNP", "married": "VBD", "the": "DT", "dogs": "NNS",
+        "quickly": "RB", "and": "CC", "3.14": "CD", ",": "PUNCT",
+        "walking": "VBG", "of": "IN",
+    }
+    assert len(r["pos_tags"]) == len(r["tokens"])
+
+
+def test_ner_tags_gazetteer_and_matcher(spark):
+    """Gazetteer NER tags: tokens inside a 2-token name occurrence (or
+    an exact 1-token name) get the tag; the RegexMatchEach-based person
+    matcher then matches exactly the all-PERSON spans."""
+    from snorkel_spark.operators.matchers import person_matcher_ner
+    from snorkel_spark.operators.ngrams import ngram_mentions
+    from snorkel_spark.operators.parser import parse_sentences, with_ner_tags
+
+    raw = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "anna1 lee1 married bob2 kim2 near paris",
+                  "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    names = spark.createDataFrame(
+        [("anna1 lee1",), ("bob2 kim2",), ("paris",)], "alias string"
+    )
+    tagged = with_ner_tags(parse_sentences(raw), names)
+    r = tagged.collect()[0]
+    assert r["ner_tags"] == ["PERSON", "PERSON", "O", "PERSON", "PERSON", "O", "PERSON"]
+    m = ngram_mentions(tagged, n_max=2, carry_attribs=("ner_tags",))
+    hits = {x["text"] for x in person_matcher_ner().apply(m).collect()}
+    # all-PERSON spans only: names, their tokens, and the 1-gram 'paris'
+    assert hits == {"anna1 lee1", "bob2 kim2", "anna1", "lee1", "bob2", "kim2", "paris"}
+    # 'married' and any span crossing it are excluded
+    assert "lee1 married" not in hits and "married" not in hits
+
+
+def test_ngram_split_tokens_respects_n_values(spark):
+    """n_values=[2] (dictionary-length pruning) must NOT resurrect
+    1-gram sub-spans via split_tokens — the pruning contract says no
+    1-grams exist; and repeated identical sub-parts ('a-a') emit one
+    row, not two mention_id-colliding rows."""
+    from snorkel_spark.operators.ngrams import ngram_mentions
+    from snorkel_spark.operators.parser import parse_sentences
+
+    raw = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "a-a big-deal scan", "media_ref": "", "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    sents = parse_sentences(raw)
+    pruned = ngram_mentions(sents, n_max=2, n_values=[2], split_tokens=("-",)).collect()
+    assert all(r["n"] == 2 for r in pruned)  # no 1-gram sub-spans leaked
+    full = ngram_mentions(sents, n_max=2, split_tokens=("-",)).collect()
+    aa_subs = [r for r in full if r["text"] == "a" and r["n"] == 1
+               and r["word_start"] == 0]
+    assert len(aa_subs) == 1  # 'a-a' dedupes to one sub-span row
+    assert len({r["mention_id"] for r in full}) == len(full)
+
+
 def test_dictionary_length_pruning_identical_matches(spark, sentences, persons):
     """ngram_mentions(n_values=dict lengths) yields the SAME matcher
     output as full enumeration — the prune is result-invariant."""

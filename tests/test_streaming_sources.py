@@ -122,3 +122,50 @@ def test_stateful_sessionize_matches_batch(spark):
     )
     got = {(r["user_id"], r["n_sessions"], r["n_events"]) for r in final.collect()}
     assert got == batch
+
+
+def test_stateful_sessionize_out_of_order_chunks(spark, tmp_path):
+    """Events delivered out of time order across MULTIPLE Arrow chunks
+    of the same micro-batch must still sessionize like batch: the
+    operator concatenates + sorts all chunks before the gap diff, so a
+    tiny maxRecordsPerBatch (forcing many chunks per group) changes
+    nothing."""
+    import pyspark.sql.functions as F
+
+    from snorkel_spark.streaming.events import (
+        run_stream_updates_to_memory,
+        sessionize,
+        sessionize_stateful_streaming,
+    )
+
+    # one user, 12 events in 3 sessions (gap 30 min), written REVERSED
+    ts = []
+    base = 1_600_000_000
+    for s in range(3):
+        for i in range(4):
+            ts.append(base + s * 7200 + i * 60)  # 2h between sessions
+    rows = [(1, t) for t in reversed(ts)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    path = str(tmp_path / "ooo_events.parquet")
+    df.coalesce(1).write.parquet(path)
+
+    batch = {(r["user_id"], r["n_sessions"], r["n_events"])
+             for r in sessionize(spark.read.parquet(path)).collect()}
+    assert batch == {(1, 3, 12)}
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        sdf = sessionize_stateful_streaming(spark, path)
+        mem = run_stream_updates_to_memory(spark, sdf, "sess_state_ooo")
+        final = mem.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_sessions").alias("n_sessions"),
+        )
+        got = {(r["user_id"], r["n_sessions"], r["n_events"])
+               for r in final.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == batch

@@ -49,9 +49,26 @@ class LabelModel:
         prec_init: float = 0.7,
         l2: float = 0.0,
         seed: int = 42,
+        constrain_coverage: bool = False,
     ) -> "LabelModel":
         """Full-batch Adam on ‖M ⊙ (O − μPμᵀ)‖² (deterministic: the
-        'SGD' of the paper is full-batch here because O is tiny)."""
+        'SGD' of the paper is full-batch here because O is tiny).
+
+        ``constrain_coverage``: project μ after every step onto the
+        affine subspace Σ_c p_c μ[(j,c'),c] = P(λ_j = c') = diag(O) —
+        the observed per-LF vote rates.  This removes the inflation
+        freedom where the fit explains a strongly coupled
+        (unmasked-dependent) LF block by overstating those LFs'
+        coverage/accuracy while writing off honest blocks — the failure
+        that makes unconstrained structure search misattribute
+        dependencies (``select_dependencies_greedy`` turns it on).
+        Exact additive projection (closed form for a single linear
+        constraint per row), then box clip.  Leave OFF (default) when
+        O's denominator counts only LABELED candidates (the long-form
+        ``compute_O_selfjoin`` path): conditioning on 'some LF fired'
+        is a collider that shifts the observed vote rates, and pinning
+        μ to them then biases the accuracies the slack would absorb.
+        """
         k = self.cardinality
         d = self.m * k
         O = C.astype(np.float64) / max(n, 1)
@@ -82,13 +99,17 @@ class LabelModel:
         mt = np.zeros_like(mu)
         vt = np.zeros_like(mu)
         b1, b2, eps = 0.9, 0.999, 1e-8
+        pp = float(p @ p)
         for t in range(1, epochs + 1):
             delta = M * (O - mu @ P @ mu.T)
             grad = -2.0 * (delta + delta.T) @ mu @ P + 2.0 * l2 * mu
             mt = b1 * mt + (1 - b1) * grad
             vt = b2 * vt + (1 - b2) * grad * grad
             step = lr * (mt / (1 - b1**t)) / (np.sqrt(vt / (1 - b2**t)) + eps)
-            mu = np.clip(mu - step, EPS, 1 - EPS)
+            mu = mu - step
+            if constrain_coverage:
+                mu = mu + ((diag - mu @ p) / pp)[:, None] * p[None, :]
+            mu = np.clip(mu, EPS, 1 - EPS)
         self.mu = mu
         self.class_balance = p
         return self
@@ -280,6 +301,121 @@ def select_dependencies_conditional(
             if dev[j1, j2] > threshold:
                 deps.add((j1, j2))
     return deps, dev
+
+
+def _block_dev_matrix(
+    O: np.ndarray, lm: "LabelModel", m: int, k: int
+) -> np.ndarray:
+    """Per-pair max |O − μ̂Pμ̂ᵀ| over the (j1, j2) off-diagonal block,
+    upper-triangular (the deviation statistic every screen uses)."""
+    expected = lm.mu @ np.diag(lm.class_balance) @ lm.mu.T
+    D = np.zeros((m, m))
+    for j1 in range(m):
+        for j2 in range(j1 + 1, m):
+            D[j1, j2] = float(
+                np.abs(
+                    O[j1 * k : (j1 + 1) * k, j2 * k : (j2 + 1) * k]
+                    - expected[j1 * k : (j1 + 1) * k, j2 * k : (j2 + 1) * k]
+                ).max()
+            )
+    return D
+
+
+def select_dependencies_greedy(
+    C: np.ndarray,
+    n: int,
+    m: int,
+    cardinality: int = 2,
+    threshold: float = 0.05,
+    grow_tol: float = 0.01,
+    class_balance=None,
+    max_deps: int | None = None,
+) -> tuple[set[tuple[int, int]], list[frozenset[int]]]:
+    """G4 v3 — grow-prune block-masking structure learner with clique
+    extraction (the 'higher-order structures' extension of
+    ``select_dependencies_conditional``).
+
+    GROW: repeatedly fit with the current dependency set masked and
+    mask the worst-deviating remaining block, until every unmasked
+    block fits within ``grow_tol`` (≈ the sampling-noise floor).
+    PRUNE: while the weakest held-out block deviates < ``threshold``
+    under the full mask, unmask it (false positives greedily picked up
+    while μ̂ was still distorted are removed once the real structure is
+    masked).  Internal refits run with ``constrain_coverage=True``:
+    without the observed vote-rate constraint, the least-squares fit
+    can explain a coupled clique by inflating those LFs' coverage/
+    accuracy and write off the honest blocks instead, sending any
+    deviation-guided search to the wrong pairs — so pass ``n`` counting
+    the FULL candidate set (see ``fit``'s collider caveat).
+    Deterministic; O(#deps · m²/2) fits of a (m·k)²
+    problem, each O(1) in corpus size (⚠ the reference optimizes a
+    pseudolikelihood objective with sampled SGD and also parameterizes
+    only pairwise factor types —
+    snorkel/learning/structure/gen_learning.py, reconstructed).
+
+    Returns ``(deps, cliques)`` where ``cliques`` lists the maximal
+    cliques of size ≥ 3 in the selected dependency graph — e.g. three
+    mutually-coupled LFs surface as one 3-clique, the higher-order
+    structure the pairwise list alone obscures (pairwise screens go
+    blind inside a clique: the sibling edges keep μ̂ inflated so each
+    held-out edge looks explained).  Couplings visible only in THIRD
+    moments with pairwise conditional independence (XOR-style) are
+    outside any second-moment fit — same factor family limit as the
+    reference's pairwise dependency types.
+    """
+    k = cardinality
+    O = C.astype(np.float64) / max(n, 1)
+    deps: set[tuple[int, int]] = set()
+    n_pairs = m * (m - 1) // 2
+    # cap: keep at least half the blocks in the objective so μ̂ stays
+    # identifiable
+    cap = max_deps if max_deps is not None else n_pairs // 2
+
+    def refit() -> "LabelModel":
+        return LabelModel(
+            m=m, cardinality=k, class_balance=class_balance, deps=set(deps)
+        ).fit(C, n, constrain_coverage=True)
+
+    while len(deps) < cap:
+        D = _block_dev_matrix(O, refit(), m, k)
+        for (j1, j2) in deps:
+            D[j1, j2] = -1.0
+        worst = np.unravel_index(np.argmax(D), D.shape)
+        if D[worst] <= grow_tol:
+            break
+        deps.add((int(worst[0]), int(worst[1])))
+    while deps:
+        D = _block_dev_matrix(O, refit(), m, k)
+        weakest = min(deps, key=lambda pr: D[pr])
+        if D[weakest] >= threshold:
+            break
+        deps.discard(weakest)
+    return deps, dependency_cliques(deps, min_size=3)
+
+
+def dependency_cliques(
+    deps: set[tuple[int, int]], min_size: int = 3
+) -> list[frozenset[int]]:
+    """Maximal cliques of the dependency graph (Bron–Kerbosch, tiny m),
+    filtered to ≥ ``min_size`` members — the multi-LF coupling view."""
+    adj: dict[int, set[int]] = {}
+    for a, b in deps:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out: list[frozenset[int]] = []
+
+    def bk(r: set[int], p: set[int], x: set[int]):
+        if not p and not x:
+            if len(r) >= min_size:
+                out.append(frozenset(r))
+            return
+        for v in sorted(p):
+            bk(r | {v}, p & adj[v], x & adj[v])
+            p = p - {v}
+            x = x | {v}
+
+    bk(set(), set(adj), set())
+    return sorted(out, key=lambda c: (-len(c), sorted(c)))
 
 
 # ---- G7: grid search ------------------------------------------------------

@@ -33,6 +33,28 @@ N_PLANES = 8
 N_TABLES = 2
 
 
+def auto_n_planes(
+    corpus_size: int, target_bucket: int = 64, min_planes: int = 4, max_planes: int = 24
+) -> int:
+    """The growth rule, automated: n_planes ≈ log2(n / target_bucket) so
+    EXPECTED bucket width n / 2^p stays ≈ ``target_bucket`` as the
+    corpus grows — 100× more vectors costs log2(100) ≈ 7 more planes,
+    no manual retuning, and the per-table pair-join cost stays
+    O(n · target_bucket) instead of drifting quadratic.  Clamped to
+    [min_planes, max_planes] (beyond ~24 sign bits per table, recall
+    for mid-similarity pairs needs more tables, not more planes).
+
+    Pass the result to ``lsh_buckets``/``lsh_neighbor_pairs``; the
+    driver-side ``corpus_size`` count is one cheap metadata-only action.
+    """
+    import math
+
+    if corpus_size <= 0:
+        return min_planes
+    p = math.ceil(math.log2(max(corpus_size / max(target_bucket, 1), 1.0)))
+    return max(min_planes, min(max_planes, p))
+
+
 def cosine_topk(
     embeddings: DataFrame, query_ids: list[int], k: int = 3
 ) -> DataFrame:

@@ -111,12 +111,19 @@ def run_kg_pipeline(
     use_label_model: bool = True,
     o_path: str = "arrow",
     stop_after: str | None = None,
+    parser: str = "whitespace",
 ) -> dict:
     """parse → candidates → label matrix → label model → link → triples.
 
     Returns a dict of stage snapshot ids + the triples DataFrame +
     timing facts; resumable: rerunning with the same catalog skips
     committed stages.
+
+    ``parser``: 'whitespace' (split-on-space — exact for the clean
+    synthesized corpus) or 'full' (``parse_sentences_full``: real
+    sentence splitting at [.!?] + punctuation-aware tokenization — the
+    path a punctuated corpus needs).  Part of the sentences stage's
+    config hash, so snapshots from the two parsers never alias.
     """
     from ..functions.labeling import apply_lfs, make_fixture_lfs
     from ..labelmodel.encoding import compute_O_arrow, compute_O_selfjoin
@@ -126,12 +133,16 @@ def run_kg_pipeline(
     from ..operators.linker import link_text_map
     from ..operators.matchers import person_matcher
     from ..operators.ngrams import ngram_mentions
-    from ..operators.parser import parse_sentences
+    from ..operators.parser import parse_sentences, parse_sentences_full
     from ..sources import fixtures as FX
     from ..sources.interleaved import synthesize_raw_documents
 
+    if parser not in ("whitespace", "full"):
+        raise ValueError(f"parser must be 'whitespace' or 'full', got {parser!r}")
+    parse_fn = parse_sentences if parser == "whitespace" else parse_sentences_full
+
     ctx = PipelineContext(spark, catalog, config={
-        "sentences": {"sf_dir": sf_dir},
+        "sentences": {"sf_dir": sf_dir, "parser": parser},
         "candidates": {"n_max": n_max},
         "label_matrix": {"lfs": "fixture_v1"},
         "marginals": {"use_label_model": use_label_model, "o_path": o_path},
@@ -140,7 +151,7 @@ def run_kg_pipeline(
     info: dict = {"skipped": []}
 
     raw = synthesize_raw_documents(spark, sf_dir)
-    sents, s1, sk = ctx.run_stage("sentences", {}, lambda: parse_sentences(raw))
+    sents, s1, sk = ctx.run_stage("sentences", {}, lambda: parse_fn(raw))
     if sk:
         info["skipped"].append("sentences")
     if stop_after == "sentences":

@@ -44,6 +44,14 @@ def get_spark(
         # that small local runs drown in task overhead.
         shuffle_partitions = max(8, 4 * n_cores)
 
+    # Shuffle/spill files default to /tmp — ONE spinning-rust queue that
+    # does not scale with cores, while a real cluster shuffles to
+    # per-node local disks (bandwidth ∝ nodes).  tmpfs is the honest
+    # single-box proxy; override with SPARK_GRAFT_LOCAL_DIR.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm/spark_local" if os.path.isdir("/dev/shm") else None,
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,6 +67,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -222,3 +222,23 @@ def test_frame_sample_and_resize(spark, raw):
     rz = resize_stub(m, max_bytes=5)
     assert rz.filter("n_bytes > 5").count() == 0
     assert rz.count() == m.count()
+
+
+def test_auto_n_planes_keeps_bucket_width_constant(spark, emb):
+    """The automated growth rule: expected bucket width n / 2^p stays
+    within [target/2, 2·target] across 10×/100×/1000× corpus growth
+    (until the plane clamp), so the pair join never drifts quadratic."""
+    from snorkel_spark.operators.similarity import auto_n_planes, lsh_buckets
+
+    target = 64
+    widths = {}
+    for n in (1_000, 10_000, 100_000, 1_000_000, 10_000_000):
+        p = auto_n_planes(n, target_bucket=target)
+        widths[n] = n / 2**p
+        if p < 24:  # below the clamp the invariant must hold
+            assert target / 2 <= widths[n] <= 2 * target, (n, p, widths[n])
+    assert auto_n_planes(0) == 4 and auto_n_planes(10) == 4  # clamps
+    # and the computed plane count actually drives a valid bucketing
+    p = auto_n_planes(emb.count(), target_bucket=64)
+    b = lsh_buckets(emb, n_planes=p)
+    assert b.groupBy("table_id").count().count() == 2  # both tables present

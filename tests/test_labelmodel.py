@@ -222,3 +222,42 @@ def test_conditional_screen_vs_marginal():
     assert (0, 2) in cond, (cond, dev.max())
     assert (0, 1) not in cond, (cond, dev)
     assert (0, 1) in marg  # the marginal screen's false positive
+
+
+def test_greedy_structure_finds_3_clique():
+    """G4 v3: three mutually-coupled LFs (one LF planted twice more as
+    near-duplicates) surface as all three pairwise dependencies AND one
+    maximal 3-clique; independent LFs stay out of the graph."""
+    import numpy as np
+
+    from snorkel_spark.labelmodel.encoding import compute_O_local
+    from snorkel_spark.labelmodel.model import select_dependencies_greedy
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    Y = rng.choice([-1, 1], n)
+
+    def noisy(acc, cov):
+        lab = np.where(rng.random(n) < acc, Y, -Y)
+        lab[rng.random(n) > cov] = 0
+        return lab
+
+    def perturb(base, flip=0.02):
+        out = base.copy()
+        mask = rng.random(n) < flip
+        out[mask] = -out[mask]
+        return out
+
+    a = noisy(0.9, 0.7)
+    b = perturb(a)   # near-duplicate of a
+    c = perturb(a)   # near-duplicate of a → {a,b,c} is a 3-clique
+    d = noisy(0.85, 0.65)
+    e = noisy(0.8, 0.7)
+    f = noisy(0.88, 0.6)
+    L = np.stack([a, b, c, d, e, f], axis=1)
+    C, nn = compute_O_local(L)
+    deps, cliques = select_dependencies_greedy(C, nn, m=6)
+    assert {(0, 1), (0, 2), (1, 2)} <= deps, deps
+    assert frozenset({0, 1, 2}) in cliques, (deps, cliques)
+    # no dependency touching the independent LFs
+    assert all(j1 <= 2 and j2 <= 2 for (j1, j2) in deps), deps

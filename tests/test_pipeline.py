@@ -83,3 +83,25 @@ def test_salted_equals_unsalted(spark, pipeline_run):
     t1 = info["triples_df"].select(*cols)
     t2 = info2["triples_df"].select(*cols)
     assert t1.exceptAll(t2).count() == 0 and t2.exceptAll(t1).count() == 0
+
+
+def test_pipeline_full_parser_variant(spark, tmp_path_factory):
+    """run_kg_pipeline(parser='full') runs the real splitter/tokenizer
+    end-to-end: on the clean (punctuation-free) corpus it emits exactly
+    the whitespace path's triples, and its sentences snapshot is keyed
+    by a DIFFERENT config hash (the two parsers never alias on resume)."""
+    from snorkel_spark.sources import fixtures as FX
+    from snorkel_spark.operators.canonicalize import triple_prf
+
+    cat = Catalog(str(tmp_path_factory.mktemp("warehouse_fullparse")))
+    info = run_kg_pipeline(spark, SF, cat, parser="full")
+    gt = FX.gold_triples(spark, SF)
+    prf = triple_prf(info["triples_df"], gt)
+    assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95, prf
+    # resume with parser='whitespace' must NOT reuse the full-parse
+    # sentences snapshot (config hash differs) ...
+    info2 = run_kg_pipeline(spark, SF, cat, parser="whitespace")
+    assert "sentences" not in info2["skipped"]
+    # ... while rerunning parser='full' resumes it
+    info3 = run_kg_pipeline(spark, SF, cat, parser="full")
+    assert "sentences" in info3["skipped"]

@@ -70,11 +70,20 @@ def replicated_documents(spark, sf_dir: str, factor: int):
     )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_pipeline(
+    spark,
+    sf_dir: str,
+    repl: int,
+    snapshot_mode: str = "parquet",
+    parser: str = "whitespace",
+) -> tuple[float, dict]:
+    """One timed end-to-end pipeline pass on an EXISTING session.
+    Returns (total_sec, per-stage dict).  Callable repeatedly in one
+    JVM (the scaling harness does: many interleaved-size replicates
+    per session, so the ~20 s session startup never lands in a wall);
+    snapshot-free runs unpersist their caches before returning so
+    replicates stay independent."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repl = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
-    sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
 
@@ -87,15 +96,8 @@ def main() -> None:
     from snorkel_spark.operators.matchers import person_matcher
     from snorkel_spark.operators.ngrams import ngram_mentions
     from snorkel_spark.operators.parser import parse_sentences, parse_sentences_full
-    from snorkel_spark.session import get_spark
+
     from snorkel_spark.sources import fixtures as FX
-
-    spark = get_spark(app_name="snorkel_spark_bench", cores=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    snapshot_mode = os.environ.get("SPARK_GRAFT_SNAPSHOT", "parquet")
-
-    # warmup (JVM + Arrow init)
-    spark.range(1000).select(F.sum("id")).collect()
 
     q: dict[str, float] = {}
     t_all0 = time.time()
@@ -108,6 +110,7 @@ def main() -> None:
     from snorkel_spark.sources.interleaved import synthesize_from_docs
 
     _tmp_dirs: list[str] = []
+    _persisted: list = []
 
     def materialize(df, prefix: str):
         """Stage boundary: parquet snapshot (catalog shape) or cached
@@ -119,9 +122,10 @@ def main() -> None:
             _tmp_dirs.append(d)
             df.write.mode("overwrite").parquet(d)
             return spark.read.parquet(d)
-        return df.persist()
+        df = df.persist()
+        _persisted.append(df)
+        return df
 
-    parser = os.environ.get("SPARK_GRAFT_PARSER", "whitespace")
     parse_fn = parse_sentences if parser == "whitespace" else parse_sentences_full
     raw = synthesize_from_docs(replicated_documents(spark, sf_dir, repl))
     sents = materialize(parse_fn(raw), "bench_sents_")
@@ -176,6 +180,7 @@ def main() -> None:
     obj = cands.join(F.broadcast(tmap.withColumnRenamed("text", "obj_text")),
                      "obj_text").select("candidate_id", "entity_id")
     triples = canonical_triples(cands, marg, subj, obj, threshold=0.5, n_salts=16).persist()
+    _persisted.append(triples)
     n_triples = triples.count()
     n_evidence = triples.agg(F.sum("n_evidence")).collect()[0][0] or 0
     q["triples_sec"] = round(time.time() - t0, 3)
@@ -194,6 +199,31 @@ def main() -> None:
     q["replicate"] = repl
     q["snapshot_mode"] = snapshot_mode
     q["parser"] = parser
+    for df in _persisted:
+        df.unpersist()
+    for d in _tmp_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return total, q
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repl = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+    snapshot_mode = os.environ.get("SPARK_GRAFT_SNAPSHOT", "parquet")
+    parser = os.environ.get("SPARK_GRAFT_PARSER", "whitespace")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from snorkel_spark.session import get_spark
+
+    spark = get_spark(app_name="snorkel_spark_bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup (JVM + Arrow init)
+    spark.range(1000).select(F.sum("id")).collect()
+
+    total, q = run_pipeline(spark, sf_dir, repl, snapshot_mode, parser)
 
     print(json.dumps({
         "metric": "kg_pipeline_e2e",
@@ -203,8 +233,6 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
-    for d in _tmp_dirs:
-        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":

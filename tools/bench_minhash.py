@@ -56,6 +56,11 @@ def main() -> None:
         out[f"{backend}_docs_per_sec"] = round(n_docs / min(walls), 1)
     out["speedup_xxhash64_vs_md5"] = round(out["md5_min"] / out["xxhash64_min"], 2)
     print(json.dumps(out))
+    # persist for tools/bench_scaling.py's companion section
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "minhash.json"), "w") as f:
+        json.dump(out, f)
     spark.stop()
 
 

@@ -57,6 +57,24 @@ def run_bench(cpus: int, sf_dir: str, repl: int, snapshot: str = "none") -> dict
     return json.loads(line)
 
 
+def run_worker(cpus: int, sizes: list[int], runs: int, sf_dir: str,
+               snapshot: str) -> list[dict]:
+    """One JVM per level: warmup + runs × interleaved sizes, one JSON
+    line per timed pipeline pass (tools/scaling_worker.py)."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+         str(cpus), ",".join(map(str, sizes)), str(runs), sf_dir, snapshot],
+        env=env, capture_output=True, text=True, timeout=5400,
+    )
+    rows = [json.loads(l) for l in out.stdout.strip().splitlines()
+            if l.startswith("{")]
+    if not rows:
+        raise RuntimeError(f"worker local[{cpus}] produced no rows:\n"
+                           f"{out.stderr[-2000:]}")
+    return rows
+
+
 def _marginal_sps(res: dict, r1: int, r2: int, est) -> float:
     d_rows = res["rows_r2"] - res["rows_r1"]
     d_wall = est(res["walls_r2"]) - est(res["walls_r1"])
@@ -72,29 +90,25 @@ def main():
 
     snapshot = os.environ.get("SPARK_GRAFT_SNAPSHOT", "none")
 
-    results: dict = {cpus: {"a_runs": [], "b_runs": []} for cpus in levels}
+    # One warm JVM per level; sizes interleave WITHIN the session (so a
+    # replicate's two sizes sit adjacent in time — the paired estimator
+    # differences out slow hypervisor drift), and per-pass walls carry
+    # no session startup, so replicates are cheap enough to run many.
+    results: dict = {}
     for cpus in levels:
-        run_bench(cpus, sf_dir, 4, snapshot)  # warmup (JIT/Arrow/page cache)
-    # INTERLEAVED replicate order: replicate i runs every (level, size)
-    # back-to-back, so slow hypervisor drift hits all points of a
-    # replicate equally instead of poisoning one level's whole campaign.
-    for i in range(runs):
-        for cpus in levels:
-            results[cpus]["a_runs"].append(run_bench(cpus, sf_dir, r1, snapshot))
-            results[cpus]["b_runs"].append(run_bench(cpus, sf_dir, r2, snapshot))
-        print(f"replicate {i + 1}/{runs} done", flush=True)
-    for cpus in levels:
-        a_runs, b_runs = results[cpus]["a_runs"], results[cpus]["b_runs"]
-        b_med = sorted(b_runs, key=lambda r: r["value"])[len(b_runs) // 2]
-        results[cpus].update({
-            "walls_r1": [r["value"] for r in a_runs],
-            "walls_r2": [r["value"] for r in b_runs],
-            "rows_r1": a_runs[0]["queries"]["n_sentences"],
-            "rows_r2": b_runs[0]["queries"]["n_sentences"],
-            "stage_breakdown": {k: v for k, v in b_med["queries"].items() if k.endswith("_sec")},
-            "n_triples": b_med["queries"]["n_triples"],
-            "n_evidence": b_med["queries"]["n_evidence"],
-        })
+        rows = run_worker(cpus, [r1, r2], runs, sf_dir, snapshot)
+        a_runs = [r for r in rows if r["size"] == r1]
+        b_runs = [r for r in rows if r["size"] == r2]
+        b_med = sorted(b_runs, key=lambda r: r["wall"])[len(b_runs) // 2]
+        results[cpus] = {
+            "walls_r1": [r["wall"] for r in a_runs],
+            "walls_r2": [r["wall"] for r in b_runs],
+            "rows_r1": a_runs[0]["n_sentences"],
+            "rows_r2": b_runs[0]["n_sentences"],
+            "stage_breakdown": b_med["stages"],
+            "n_triples": b_med["n_triples"],
+            "n_evidence": b_med["n_evidence"],
+        }
         print(f"local[{cpus}] walls@{r1}={results[cpus]['walls_r1']} "
               f"walls@{r2}={results[cpus]['walls_r2']}", flush=True)
 
@@ -103,9 +117,11 @@ def main():
     spot: dict = {}
     if os.environ.get("SPARK_GRAFT_PARQUET_SPOT", "1") == "1" and snapshot != "parquet":
         for cpus in levels:
-            sa = run_bench(cpus, sf_dir, r1, "parquet")
-            sb = run_bench(cpus, sf_dir, r2, "parquet")
-            spot[cpus] = {"wall_r1": sa["value"], "wall_r2": sb["value"]}
+            rows = run_worker(cpus, [r1, r2], 1, sf_dir, "parquet")
+            spot[cpus] = {
+                "wall_r1": [r["wall"] for r in rows if r["size"] == r1][0],
+                "wall_r2": [r["wall"] for r in rows if r["size"] == r2][0],
+            }
         print(f"parquet spot: {spot}", flush=True)
 
     def paired_sps(res: dict) -> float:
@@ -160,11 +176,14 @@ def main():
         "## Protocol",
         "",
         "Marginal throughput Δrows/Δwall between the two input sizes cancels",
-        f"the ~40 s fixed session overhead.  Each point = {runs} replicates in",
-        "INTERLEAVED order (replicate i runs every level/size back-to-back, so",
-        "hypervisor drift hits all points of a replicate equally); summarized",
-        "by the median (headline), the min (noise-free secondary), and the",
-        "paired per-replicate median; every raw wall is listed.",
+        "the size-independent per-pass cost.  One warm JVM per level runs",
+        f"{runs} replicates with the two sizes INTERLEAVED in-session",
+        "(tools/scaling_worker.py): walls carry no session startup, a",
+        "replicate's two sizes sit adjacent in time (the paired estimator",
+        "differences out slow hypervisor drift), and replicates are cheap",
+        "enough to run many.  Summarized by the median (headline), the min",
+        "(noise-free secondary — steal is strictly additive), and the paired",
+        "per-replicate median; every raw wall is listed.",
         "",
         f"Snapshot mode for the scaling pairs: **{snapshot}**.  Measured",
         "single-box decomposition behind that choice (one probe campaign,",
@@ -241,6 +260,29 @@ def main():
         f"| label-model fit (driver NumPy) | {br['fit_sec']} |",
         f"| marginals+link+salted triples | {br['triples_sec']} |",
     ]
+    # companion microbench (tools/bench_minhash.py writes BENCH/minhash.json)
+    mh_path = os.path.join(REPO, "BENCH", "minhash.json")
+    if os.path.exists(mh_path):
+        mh = json.load(open(mh_path))
+        lines += [
+            "",
+            "## MinHash signature backends (tools/bench_minhash.py)",
+            "",
+            f"{mh['n_docs']} docs (sf0.1 ×{mh['replicate']}), 128 hashes,",
+            f"3-shingles, local[{mh['cpus']}]; signature stage only (forced",
+            "projection, no join).",
+            "",
+            "| backend | walls (s) | docs/sec |",
+            "|---|---|---|",
+            f"| md5 (oracle parity; interpreted per-shingle digest) | {mh['md5_walls']} | {mh['md5_docs_per_sec']} |",
+            f"| xxhash64 (parametric family: 1 JVM hash/shingle + NumPy affine mins) | {mh['xxhash64_walls']} | {mh['xxhash64_docs_per_sec']} |",
+            "",
+            f"**Speedup {mh['speedup_xxhash64_vs_md5']}×** — a drop-in integer",
+            "hash inside the same interpreted lambda bought only 1.12×; the",
+            "win comes from hashing each shingle ONCE and deriving the",
+            "n_hashes family values as vectorized multiplies",
+            "(`minimum.reduceat` over the flattened Arrow batch).",
+        ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -495,6 +495,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(int(a), int(b)) for a, b in deps] or [(None, None)], "lf_a int, lf_b int"
         ).filter("lf_a is not null")
 
+    def g4c_pseudolikelihood_deps(spark, sf):
+        # G4 v4 — the reference's actual algorithm shape (ICML'17 ℓ1
+        # pseudolikelihood, Y marginalized), Spark-first: the corpus
+        # compresses to distinct vote-pattern counts (one distributed
+        # agg), the driver solves the exact weighted objective.  The
+        # oracle runs the SAME fit on DuckDB-computed pattern counts at
+        # import time — a cross-engine check of the compression path.
+        import numpy as np
+
+        from snorkel_spark.labelmodel.structure import (
+            select_dependencies_pseudolikelihood,
+        )
+
+        L = _label_matrix(spark, sf)
+        n_total = L.select("candidate_id").distinct().count()
+        deps, W = select_dependencies_pseudolikelihood(
+            L, m=7, n_total=n_total, threshold=0.05
+        )
+        rows = [(int(a), int(b), round(float(W[a, b]), 4)) for a, b in sorted(deps)]
+        return spark.createDataFrame(
+            rows or [(None, None, None)], "lf_a int, lf_b int, weight double"
+        ).filter("lf_a is not null")
+
     def g3_learned_lf_stats(spark, sf):
         # learned per-LF coverage/accuracy from the DISTRIBUTED O path;
         # the oracle fits the same model from DuckDB's label matrix —
@@ -629,10 +652,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5, n_hashes=32, n_bands=16,
         )
 
+    def dd_duplicate_clusters(spark, sf):
+        # exact star edges ∪ 3-shingle near-dup pairs → connected
+        # components (iterative min-label propagation; the oracle is a
+        # recursive CTE over the same edge set) — gate band params match
+        # dd_ngram_jaccard (exact verify makes the pair set identical)
+        from snorkel_spark.operators.dedup import duplicate_clusters
+
+        return duplicate_clusters(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            threshold=0.5, n_hashes=32, n_bands=16,
+        )
+
     def sim_cosine_topk(spark, sf):
         from snorkel_spark.operators.similarity import cosine_topk
 
         return cosine_topk(spark.read.parquet(f"{sf}/embeddings.parquet"), [0, 1, 2, 3, 4], k=3)
+
+    def sim_ivf_topk(spark, sf):
+        # IVF scale path: deterministic-sample coarse quantizer (16
+        # lists), probe the 4 nearest lists per query — same output
+        # contract as sim_cosine_topk so recall is auditable
+        from snorkel_spark.operators.similarity import ivf_topk
+
+        return ivf_topk(
+            spark.read.parquet(f"{sf}/embeddings.parquet"),
+            [0, 1, 2, 3, 4], k=3, n_centroids=16, n_probe=4,
+        )
 
     def sim_lsh_buckets(spark, sf):
         from snorkel_spark.operators.similarity import lsh_buckets
@@ -736,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_scorer_counts": g6_scorer_counts,
         "g4_dependencies": g4_dependencies,
         "g4b_conditional_dependencies": g4b_conditional_dependencies,
+        "g4c_pseudolikelihood_deps": g4c_pseudolikelihood_deps,
         "g3_learned_lf_stats": g3_learned_lf_stats,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
@@ -762,9 +809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": dd_simhash,
         "dd_ngram_jaccard": dd_ngram_jaccard,
         "sim_cosine_topk": sim_cosine_topk,
+        "sim_ivf_topk": sim_ivf_topk,
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_lsh_pairs": sim_lsh_pairs,
         "sim_embedding_near_dups": sim_embedding_near_dups,
+        # last on purpose: the costliest oracle twin (minhash CTE +
+        # recursive closure) — if the driver's budget runs dry, only
+        # this one is missed, not the whole sim family
+        "dd_duplicate_clusters": dd_duplicate_clusters,
     }
 
 
@@ -840,6 +892,29 @@ def _g1_oracle_entries() -> dict[str, str]:
                             f"({j1}, {j2}, {a}, {b}, {float(exp_mat[a, b])!r})"
                         )
         ho_values = ", ".join(ho_rows)
+        # g4c: the ICML'17 pseudolikelihood learner on DuckDB-computed
+        # pattern counts — same fit code, ordering pinned by the same
+        # lexsort the Spark path uses, so floats match bit-for-bit
+        from snorkel_spark.labelmodel.structure import fit_pseudolikelihood
+
+        pats, cnts = np.unique(dense, axis=0, return_counts=True)
+        p_order = np.lexsort(pats.T[::-1])
+        pats, cnts = pats[p_order], cnts[p_order]
+        theta = fit_pseudolikelihood(pats, cnts, m)
+        Wm = np.maximum(np.abs(theta["corr"]), np.abs(theta["corr"].T))
+        dep_rows = [
+            f"({j}, {k}, {round(float(Wm[j, k]), 4)!r})"
+            for j in range(m)
+            for k in range(j + 1, m)
+            if Wm[j, k] > 0.05
+        ]
+        g4c_sql = (
+            "SELECT CAST(lf_a AS INT) AS lf_a, CAST(lf_b AS INT) AS lf_b, weight"
+            f" FROM (VALUES {', '.join(dep_rows)}) t(lf_a, lf_b, weight)"
+            if dep_rows
+            else "SELECT CAST(NULL AS INT) AS lf_a, CAST(NULL AS INT) AS lf_b,"
+            " CAST(NULL AS DOUBLE) AS weight WHERE FALSE"
+        )
         logp = [float(np.log(max(b, EPS))) for b in lm.class_balance]
         scores_cte = f"""
           factors(lf_id, label, c, log_mu) AS (VALUES {values}),
@@ -893,6 +968,7 @@ def _g1_oracle_entries() -> dict[str, str]:
               LEFT JOIN cells c ON c.a = h.a AND c.b = h.b
               GROUP BY 1, 2
               HAVING MAX(ABS(COALESCE(c.cnt, 0) / (SELECT n FROM nn) - h.e)) > 0.05""",
+            "g4c_pseudolikelihood_deps": g4c_sql,
         }
     except Exception:
         return {}
@@ -995,6 +1071,97 @@ def _lsh_pairs_sql(threshold: float, n_planes: int, n_tables: int) -> str:
                * sqrt(list_sum(list_transform(eb.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))), 6) AS cos
         FROM cand c JOIN emb ea ON ea.vec_id = c.id_a JOIN emb eb ON eb.vec_id = c.id_b)
       SELECT id_a, id_b, cos FROM verified WHERE cos >= {threshold}
+    """
+
+
+def _duplicate_clusters_sql(
+    n_hashes: int, n_bands: int, threshold: float, shingle_n: int, max_bucket: int
+) -> str:
+    """Twin of dedup.duplicate_clusters: exact star edges ∪ verified
+    shingle pairs → transitive closure as a recursive CTE, component =
+    MIN reachable node (VARCHAR compare — identical in both engines)."""
+    return (
+        "WITH RECURSIVE "
+        + _minhash_cte_sql(n_hashes, n_bands, shingle_n, max_bucket)
+        + f""",
+      verified AS (SELECT c.doc_a, c.doc_b,
+                     ROUND(len(list_intersect(ta.sset, tb.sset))::DOUBLE
+                           / len(list_distinct(ta.sset || tb.sset)), 6) AS jaccard
+                   FROM cand c
+                   JOIN t ta ON ta.doc_id = c.doc_a
+                   JOIN t tb ON tb.doc_id = c.doc_b),
+      hashed AS (SELECT CAST(doc_id AS VARCHAR) AS doc_b, md5(text) AS h FROM documents),
+      mins AS (SELECT h, MIN(doc_b) AS doc_a FROM hashed GROUP BY h),
+      all_pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE jaccard >= {threshold}
+        UNION
+        SELECT m.doc_a, hh.doc_b FROM hashed hh JOIN mins m USING (h)
+        WHERE m.doc_a != hh.doc_b),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM all_pairs
+                UNION SELECT doc_b, doc_a FROM all_pairs),
+      reach AS (
+        SELECT u AS node, u AS lab FROM edges
+        UNION
+        SELECT e.v AS node, r.lab AS lab FROM reach r JOIN edges e ON e.u = r.node)
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}.embedding) + 1),"
+        f" zi -> {a}.embedding[zi]::DOUBLE * {b}.embedding[zi]::DOUBLE))"
+        f" / (sqrt(list_sum(list_transform({a}.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))"
+        f" * sqrt(list_sum(list_transform({b}.embedding, zy -> zy::DOUBLE * zy::DOUBLE))))"
+    )
+
+
+def _ivf_topk_sql(k: int, n_centroids: int, n_probe: int, query_ids: str) -> str:
+    """Twin of similarity.ivf_topk: deterministic stride-sample
+    centroids (vec_id ∈ {{0, s, …, (k−1)s}}, s = ⌊n/k⌋), argmax-cosine
+    list assignment, n_probe nearest lists per query, exact re-rank
+    inside the probed lists only."""
+    cos_ec = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " zi -> e.embedding[zi]::DOUBLE * c.cemb[zi]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(e.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(c.cemb, zy -> zy::DOUBLE * zy::DOUBLE))))"
+    )
+    cos_qc = cos_ec.replace("e.embedding", "q.qe")
+    cos_qn = (
+        "list_sum(list_transform(range(1, len(q.qe) + 1),"
+        " zi -> q.qe[zi]::DOUBLE * e2.embedding[zi]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(q.qe, zx -> zx::DOUBLE * zx::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(e2.embedding, zy -> zy::DOUBLE * zy::DOUBLE))))"
+    )
+    return f"""
+      WITH nn AS (SELECT GREATEST(COUNT(*) // {n_centroids}, 1) AS s FROM embeddings),
+      cents AS (SELECT vec_id AS centroid_id, embedding AS cemb
+                FROM embeddings, nn
+                WHERE vec_id % s = 0 AND vec_id < {n_centroids} * s),
+      assign AS (SELECT vec_id, centroid_id FROM (
+          SELECT e.vec_id, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY {cos_ec} DESC, c.centroid_id ASC) AS rn
+          FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id IN ({query_ids})),
+      probes AS (SELECT query_id, centroid_id FROM (
+          SELECT q.query_id, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id
+              ORDER BY {cos_qc} DESC, c.centroid_id ASC) AS rn
+          FROM q CROSS JOIN cents c) WHERE rn <= {n_probe}),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM probes p JOIN assign a USING (centroid_id)),
+      scored AS (SELECT cd.query_id, cd.neighbor_id, {cos_qn} AS cos
+                 FROM cand cd
+                 JOIN q ON q.query_id = cd.query_id
+                 JOIN embeddings e2 ON e2.vec_id = cd.neighbor_id
+                 WHERE cd.query_id != cd.neighbor_id),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS rank FROM scored)
+      SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, ROUND(cos, 6) AS cos
+      FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1355,6 +1522,8 @@ def oracle_sql() -> dict[str, str]:
                    THEN 1::BIGINT << sb ELSE 0 END))::BIGINT AS simhash
           FROM t""",
         "dd_ngram_jaccard": _minhash_pairs_sql(32, 16, 0.5, 3, 64),
+        "dd_duplicate_clusters": _duplicate_clusters_sql(32, 16, 0.5, 3, 64),
+        "sim_ivf_topk": _ivf_topk_sql(3, 16, 4, "0, 1, 2, 3, 4"),
         "sim_cosine_topk": """
           WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
           c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),

@@ -274,6 +274,104 @@ def ngram_jaccard_pairs(
     )
 
 
+def exact_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Star edges (doc_a = group min, doc_b = other member) per exact
+    content group — the edge form of ``exact_dup_groups``, ready to feed
+    ``connected_components``.  Two shuffles on the uniform 128-bit
+    content hash (groupBy + co-keyed join); the star shape keeps each
+    group's edge count linear in its size (a clique would be w²)."""
+    hashed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_b"), F.md5("text").alias("text_hash")
+    )
+    mins = hashed.groupBy("text_hash").agg(F.min("doc_b").alias("doc_a"))
+    return (
+        hashed.join(mins, "text_hash")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    ``component`` is the minimum node id (lexicographic for string ids
+    — both engines compare UTF-8 strings identically) reachable through
+    the pair graph.  The cluster-forming step of dedup: near-dup PAIRS
+    become KEEP-ONE-PER-CLUSTER decisions only after transitive closure.
+
+    Scale shape: iterative min-label propagation — each round joins the
+    current labels across edges (kept in both directions) and takes the
+    per-node min; converges in O(graph diameter) rounds with one
+    shuffle-join + one groupBy per round, all keyed on node id.  Dedup
+    graphs are near-cliques (every member pairs with most others), so
+    the diameter is tiny — 2–3 rounds in practice; ``max_iter`` is a
+    safety bound, and convergence is detected by an exact changed-label
+    count (a driver-side scalar per round, not a collect of data).
+    Each round's labels are ``localCheckpoint``-ed: without truncation
+    the lineage doubles per round and Catalyst re-analysis dominates —
+    on a cluster with a checkpoint dir, ``checkpoint()`` swaps in.
+    For adversarial long-chain graphs, the alternating large-star /
+    small-star construction (Kiveris et al., "Connected Components in
+    MapReduce", SOCC'14) bounds rounds at O(log² n); not needed for
+    dedup-shaped inputs, noted for the record.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "component")
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = (
+            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = MAX_BUCKET,
+    hash_backend: str = "md5",
+) -> DataFrame:
+    """End-to-end duplicate clustering: exact-dup star edges ∪ shingle
+    near-dup pairs → connected components → (doc_id, cluster_id) with
+    cluster_id = the cluster's minimum doc_id.  The canonical keep-list
+    is then ``doc_id == cluster_id`` (plus every unpaired doc)."""
+    pairs = exact_dup_pairs(docs).unionByName(
+        ngram_jaccard_pairs(
+            docs, threshold, shingle_n, n_hashes, n_bands, max_bucket, hash_backend
+        ).select("doc_a", "doc_b")
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     """32-bit SimHash from md5 hex digits: bit b's vote per token is +1
     if hex digit b of md5(token) ≥ 8 else −1; bit set iff vote sum > 0."""

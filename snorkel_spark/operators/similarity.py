@@ -155,6 +155,128 @@ def lsh_neighbor_pairs(
     )
 
 
+def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """Deterministic coarse-quantizer centroids: the corpus rows at
+    vec_id ∈ {0, s, 2s, …} with stride s = ⌊n / k⌋ — an evenly-spaced
+    corpus sample, reproducible bit-for-bit by the SQL oracle (k-means
+    would converge engine-dependently; see ``ivf_kmeans_centroids`` for
+    the refined production path).  One metadata count + one broadcastable
+    k-row filter."""
+    n = embeddings.count()
+    stride = max(n // n_centroids, 1)
+    cids = [i * stride for i in range(n_centroids)]
+    return embeddings.filter(F.col("vec_id").isin(cids)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cemb")
+    )
+
+
+def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): each vector joins its max-cosine centroid
+    (ties → lowest centroid_id).  The centroid side is k rows →
+    broadcast; the corpus streams through one projection — no shuffle of
+    the wide side.  At 100 TB the corpus is then WRITTEN partitioned (or
+    bucketed) by ``centroid_id``, so a probe of p lists reads p/k of the
+    data via partition pruning instead of a full scan."""
+    from pyspark.sql.window import Window
+
+    scored = embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(centroids)
+    ).withColumn(
+        "cos",
+        F.expr(_DOT.format(a="embedding", b="cemb"))
+        / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="cemb"))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: queries probe their ``n_probe`` nearest
+    centroids and scan only vectors assigned to those inverted lists —
+    the scan shrinks by ~n_probe/n_centroids vs brute force, and with
+    the corpus partitioned by ``centroid_id`` the shrink is partition
+    PRUNING, not post-filter.  Output matches ``cosine_topk``'s schema
+    (query_id, neighbor_id, rank, cos) so recall is directly auditable
+    against the exact baseline.  All joins are broadcast (centroids,
+    probe set, query vectors are all small sides); the only wide-side
+    work is one scan of the probed lists."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(embeddings, n_centroids)
+    index = ivf_assign(embeddings, cents)
+    q = embeddings.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qs = q.crossJoin(F.broadcast(cents)).withColumn(
+        "qcos",
+        F.expr(_DOT.format(a="qe", b="cemb"))
+        / (F.expr(_NORM.format(a="qe")) * F.expr(_NORM.format(a="cemb"))),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("centroid_id").asc())
+    probes = (
+        qs.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "centroid_id")
+    )
+    cand = probes.join(index, "centroid_id").select("query_id", F.col("vec_id").alias("neighbor_id"))
+    scored = (
+        cand.filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(
+            embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="qe", b="ce"))
+            / (F.expr(_NORM.format(a="qe")) * F.expr(_NORM.format(a="ce"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, max_iter: int = 10, seed: int = 7
+) -> DataFrame:
+    """Production centroid refinement: Lloyd's k-means via
+    ``pyspark.ml`` (distributed treeAggregate updates under the hood),
+    returning the same (centroid_id, cemb) contract as
+    ``ivf_centroids`` so ``ivf_assign``/``ivf_topk`` compose unchanged.
+    Seeded and deterministic for a fixed partitioning, but float
+    reduction order is engine-specific — no bit-exact SQL oracle, so
+    the gate query keeps the deterministic-sample centroids and this
+    path is covered by recall tests instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    km = KMeans(k=n_centroids, maxIter=max_iter, seed=seed, initMode="k-means||")
+    model = km.fit(feats)
+    centers = model.clusterCenters()
+    sdf = embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "centroid_id int, cemb array<float>",
+    )
+    return sdf
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

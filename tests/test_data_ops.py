@@ -242,3 +242,72 @@ def test_auto_n_planes_keeps_bucket_width_constant(spark, emb):
     p = auto_n_planes(emb.count(), target_bucket=64)
     b = lsh_buckets(emb, n_planes=p)
     assert b.groupBy("table_id").count().count() == 2  # both tables present
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (diameter 3 — needs >1 propagation round), a
+    triangle, and an isolated pair each collapse to min-id components."""
+    from snorkel_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"),        # chain a-b-c-d
+         ("x", "y"), ("y", "z"), ("x", "z"),        # triangle
+         ("p", "q")],                               # pair
+        "doc_a string, doc_b string",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "x": "x", "y": "x", "z": "x",
+                   "p": "p", "q": "p"}
+
+
+def test_duplicate_clusters_merges_exact_and_near(spark, docs):
+    """An exact copy AND a near-dup (one token changed) of the same doc
+    land in ONE cluster keyed by the original doc_id — the transitive
+    step that pairwise output alone cannot give."""
+    from snorkel_spark.operators.dedup import duplicate_clusters
+
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    near_text = base["text"].replace(base["text"].split(" ")[2], "zzz", 1)
+    extra = spark.createDataFrame(
+        [(str(90000), base["text"]), (str(90001), near_text)],
+        "doc_id string, text string",
+    )
+    aug = docs.select(F.col("doc_id").cast("string"), "text").unionByName(extra)
+    cl = duplicate_clusters(aug, threshold=0.5, n_hashes=32, n_bands=16)
+    want = str(base["doc_id"])
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got.get("90000") == min(want, "90000")
+    assert got.get("90001") == min(want, "90000", "90001")
+    assert got.get(want) == min(want, "90000")
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    """IVF with n_probe=n_centroids degenerates to exact brute force
+    (identical to cosine_topk); at n_probe=4/16 recall@3 stays ≥ 0.5 on
+    the raw corpus (approximate by design, but not junk)."""
+    from snorkel_spark.operators.similarity import cosine_topk, ivf_topk
+
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=3)
+    full = ivf_topk(emb, qids, k=3, n_centroids=8, n_probe=8)
+    e = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    f = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    assert e == f
+    approx = ivf_topk(emb, qids, k=3, n_centroids=16, n_probe=4)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e2 = {(q, n) for q, n, _ in e}
+    assert len(a & e2) / len(e2) >= 0.5
+
+
+def test_ivf_kmeans_centroids_compose(spark, emb):
+    """k-means-refined centroids plug into the same assign/topk chain
+    (shape contract; no bit-exact oracle by design — float reduction
+    order is engine-specific)."""
+    from snorkel_spark.operators.similarity import ivf_assign, ivf_kmeans_centroids
+
+    cents = ivf_kmeans_centroids(emb, n_centroids=4, max_iter=3)
+    assert cents.count() == 4
+    assign = ivf_assign(emb, cents)
+    assert assign.count() == emb.count()
+    assert assign.select("centroid_id").distinct().count() <= 4

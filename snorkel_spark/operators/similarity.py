@@ -173,12 +173,14 @@ def ivf_centroids(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, centroid_id): each vector joins its max-cosine centroid
     (ties → lowest centroid_id).  The centroid side is k rows →
-    broadcast; the corpus streams through one projection — no shuffle of
-    the wide side.  At 100 TB the corpus is then WRITTEN partitioned (or
-    bucketed) by ``centroid_id``, so a probe of p lists reads p/k of the
-    data via partition pruning instead of a full scan."""
-    from pyspark.sql.window import Window
-
+    broadcast cross; the argmax is ``max_by`` over a (cos, −id) struct,
+    i.e. a DECLARATIVE aggregation — partial aggregation collapses each
+    partition's n_p·k scored rows back to n_p before the exchange, so
+    the shuffle ships one row per vector (a row_number window here
+    would shuffle the full n·k expansion — the plan that dies at 100×).
+    At 100 TB the corpus is then WRITTEN partitioned (or bucketed) by
+    ``centroid_id``, so a probe of p lists reads p/k of the data via
+    partition pruning instead of a full scan."""
     scored = embeddings.select("vec_id", "embedding").crossJoin(
         F.broadcast(centroids)
     ).withColumn(
@@ -186,11 +188,10 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         F.expr(_DOT.format(a="embedding", b="cemb"))
         / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="cemb"))),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "centroid_id")
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")).alias("_nid"))
+        ).alias("centroid_id")
     )
 
 
@@ -208,8 +209,13 @@ def ivf_topk(
     PRUNING, not post-filter.  Output matches ``cosine_topk``'s schema
     (query_id, neighbor_id, rank, cos) so recall is directly auditable
     against the exact baseline.  All joins are broadcast (centroids,
-    probe set, query vectors are all small sides); the only wide-side
-    work is one scan of the probed lists."""
+    probe set, query vectors are all small sides — the probe set is
+    broadcast EXPLICITLY so the index side streams un-shuffled); the
+    wide-side work is the assignment scan plus the probed-list re-rank.
+    The final top-k window partitions by query_id — fine while queries
+    are a broadcastable set (one group per query); a huge query batch
+    would shard the query side and loop instead, keeping each window's
+    group sizes bounded."""
     from pyspark.sql.window import Window
 
     cents = ivf_centroids(embeddings, n_centroids)
@@ -228,7 +234,9 @@ def ivf_topk(
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "centroid_id")
     )
-    cand = probes.join(index, "centroid_id").select("query_id", F.col("vec_id").alias("neighbor_id"))
+    cand = index.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
     scored = (
         cand.filter(F.col("query_id") != F.col("neighbor_id"))
         .join(F.broadcast(q), "query_id")

@@ -260,6 +260,20 @@ def main():
         f"| label-model fit (driver NumPy) | {br['fit_sec']} |",
         f"| marginals+link+salted triples | {br['triples_sec']} |",
     ]
+    lines += [
+        "",
+        "## Reading the three estimators",
+        "",
+        "Hypervisor steal is strictly ADDITIVE — it inflates a wall, never",
+        "deflates it — so the min over replicates is the classic noise-free",
+        "estimator (a min marginally above 1.0 is residual noise in the",
+        "subtraction, not super-linear hardware).  The median is the",
+        "noise-inclusive headline; the paired estimator differences each",
+        "replicate's adjacent-in-time size pair before taking the median,",
+        "cancelling slow drift.  The gate is met when the cluster-proxy",
+        "pair clears 0.8 on the median WITHOUT leaning on estimator",
+        "choice; min and paired are published as corroboration.",
+    ]
     # companion microbench (tools/bench_minhash.py writes BENCH/minhash.json)
     mh_path = os.path.join(REPO, "BENCH", "minhash.json")
     if os.path.exists(mh_path):

@@ -69,6 +69,26 @@ NOTES = {
         "(table_id, bucket); exact cosine verification (zip_with/"
         "aggregate folds — JVM, no Python) runs on candidates only."
     ),
+    "ivf_topk": (
+        "IVF probe: every join is **BroadcastHashJoin** (centroids, "
+        "query vectors, and the probe set are all k-or-smaller sides).  "
+        "List assignment is a declarative max_by aggregation, so "
+        "**partial aggregation** collapses the n·k scored expansion to "
+        "one row per vector BEFORE its exchange (a row_number window "
+        "here would shuffle the full expansion); the final top-k shows "
+        "**WindowGroupLimit** above and below its exchange — per-"
+        "partition k-pruning before the shuffle.  At scale the corpus "
+        "is written partitioned by centroid_id, turning the "
+        "probes⋈index join into partition pruning."
+    ),
+    "cc_round": (
+        "One connected-components round: labels ⋈ edges on the node key "
+        "then min-agg per node — partial+final hash aggregation, one "
+        "shuffle keyed on node id per round, O(diameter) rounds.  The "
+        "plan shows a single round because each round's result is "
+        "localCheckpoint-ed (lineage truncation is the point: without "
+        "it the tree doubles per round)."
+    ),
 }
 
 
@@ -120,7 +140,24 @@ def main():
     trip = canonical_triples(cands, marg, links, links, n_salts=16)
 
     from snorkel_spark.operators.dedup import ngram_jaccard_pairs
-    from snorkel_spark.operators.similarity import lsh_neighbor_pairs
+    from snorkel_spark.operators.similarity import ivf_topk, lsh_neighbor_pairs
+
+    def _cc_one_round(spark):
+        """The repeated unit of connected_components: one label-
+        propagation join + min-agg (the full operator iterates this
+        against checkpointed inputs)."""
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "u string, v string"
+        )
+        labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
+        prop = edges.join(labels.withColumnRenamed("node", "v"), "v").select(
+            F.col("u").alias("node"), "component"
+        )
+        return labels.union(prop).groupBy("node").agg(
+            F.min("component").alias("component")
+        )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -135,6 +172,8 @@ def main():
         "triples_salted": trip,
         "ngram_jaccard": ngram_jaccard_pairs(docs),
         "lsh_pairs": lsh_neighbor_pairs(emb, threshold=0.8),
+        "ivf_topk": ivf_topk(emb, [0, 1, 2], k=3, n_centroids=8, n_probe=2),
+        "cc_round": _cc_one_round(spark),
     }
     out = ["# Physical plans of the hot-path stages\n",
            "Generated by tools/dump_plans.py (sf0.001 fixture; shapes are",

@@ -30,19 +30,39 @@ def windowed_counts(events: DataFrame, minutes: int = 5) -> DataFrame:
 
 
 def windowed_counts_streaming(
-    spark: SparkSession, parquet_path: str, minutes: int = 5, watermark: str = "10 minutes"
+    spark: SparkSession,
+    parquet_path: str,
+    minutes: int = 5,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Same aggregation as a streaming query with a watermark; run with
-    ``Trigger.AvailableNow`` to drain the source and stop."""
+    ``Trigger.AvailableNow`` to drain the source and stop.
+
+    ``max_files_per_trigger=1`` splits the drain into one micro-batch
+    per source file (AvailableNow honors the option) — the shape that
+    actually EXERCISES the watermark: it only advances between batches,
+    so single-batch drains can never drop a late row or finalize a
+    window.  Pair with ``run_stream_append_to_memory`` for the
+    append-mode late-data semantics."""
     schema, parquet_path = _stage_stream_dir(spark, parquet_path)
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
     # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # group by the FULL window struct (extracting .start inside the
+    # groupBy strips the event-time tag append mode needs to know the
+    # aggregation is watermark-bounded), project start afterward
     return (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", f"{minutes} minutes").getField("start").alias("window_start"),
-                 "event_type")
+        .groupBy(F.window("ts", f"{minutes} minutes"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("window").getField("start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
     )
 
 
@@ -53,6 +73,25 @@ def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str) -> Data
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_stream_append_to_memory(spark: SparkSession, sdf: DataFrame, name: str) -> DataFrame:
+    """Drain an availableNow stream in APPEND output mode: a window row
+    is emitted exactly once, when the watermark passes its end — rows
+    later than the watermark are DROPPED from their (already finalized)
+    window, and windows the watermark never reaches stay unemitted in
+    state.  This is the at-scale output mode: state stays bounded by
+    the watermark horizon and sinks receive immutable appends, where
+    complete mode re-emits the whole result table every trigger."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )

@@ -169,3 +169,67 @@ def test_stateful_sessionize_out_of_order_chunks(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == batch
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """The watermark's actual late-data contract, exercised across
+    micro-batches.  The contract is one-directional: a window is
+    GUARANTEED finalized (emitted, state evicted) once the watermark
+    passes its end, and a late row is GUARANTEED dropped only once its
+    window's state is gone — a late row arriving while the state still
+    lingers may legally merge.  So the drop needs three batches:
+    batch 1 seeds two windows, batch 2's fresh row advances the
+    watermark past both (evicting them), batch 3 delivers a row into
+    an evicted window — dropped — while batch 2's own window stays
+    withheld in state forever (never finalized).  Append-mode output
+    therefore differs from the all-data batch aggregation in exactly
+    those two rows — single-batch drains (every other streaming test)
+    can never show any of this."""
+    import os
+    from datetime import datetime
+
+    from snorkel_spark.streaming.events import (
+        run_stream_append_to_memory,
+        windowed_counts,
+        windowed_counts_streaming,
+    )
+
+    def write_file(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(rows, "ts timestamp, event_type string, value double") \
+            .coalesce(1).write.parquet(p)
+        return p
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    d1 = write_file("a", [(t(10, 0), "click", 1.0), (t(10, 1), "click", 1.0),
+                          (t(10, 29), "click", 1.0)])
+    d2 = write_file("b", [(t(11, 0), "click", 1.0)])   # advances wm to 10:55
+    d3 = write_file("c", [(t(10, 2), "click", 1.0)])   # late: state evicted
+    # one dir, three files; file-source batch order = modification time
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, d in enumerate((d1, d2, d3)):
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                dst = os.path.join(src, f"{i}_{f}")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+
+    sdf = windowed_counts_streaming(
+        spark, src, minutes=5, watermark="5 minutes", max_files_per_trigger=1
+    )
+    got = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"], r["n"])
+        for r in run_stream_append_to_memory(spark, sdf, "wm_late").collect()
+    }
+    # 10:00 (n=2, WITHOUT the late 10:02 row) and 10:25 finalized when
+    # the watermark hit 10:55; the 11:00 window is never emitted.
+    assert got == {("10:00", "click", 2), ("10:25", "click", 1)}, got
+    # the batch twin sees everything — the difference IS the late-drop
+    allrows = spark.read.parquet(src)
+    batch = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"], r["n"])
+        for r in windowed_counts(allrows, minutes=5).collect()
+    }
+    assert batch == {("10:00", "click", 3), ("10:25", "click", 1),
+                     ("11:00", "click", 1)}, batch

@@ -1465,21 +1465,24 @@ def oracle_sql() -> dict[str, str]:
                  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe_tokens,
                  CAST(len(replace(text, ' ', '')) AS INT) AS n_chars_nospace
           FROM documents""",
+        # 6-dp rounding in exact integer arithmetic on both engines:
+        # ⌊(2a·10⁶+b)/2b⌋ — round(double) flakes at half-ulp boundaries
         "ts_quality": """
           WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                             string_split(text, ' ') AS toks FROM documents),
           q AS (SELECT doc_id,
-                  CAST(len(toks) AS INT) AS n_tokens,
-                  len(list_distinct(toks))::DOUBLE / len(toks) AS dr,
-                  len(list_filter(toks, qt -> qt IN ('a','and','das','de','der','die','el','et','he','la','le','of','shi','the','und','y')))::DOUBLE / len(toks) AS sr,
-                  list_sum(list_transform(toks, qw -> len(qw)))::DOUBLE / len(toks) AS ml
+                  len(toks)::BIGINT AS n,
+                  len(list_distinct(toks))::BIGINT AS d,
+                  len(list_filter(toks, qt -> qt IN ('a','and','das','de','der','die','el','et','he','la','le','of','shi','the','und','y')))::BIGINT AS s,
+                  list_sum(list_transform(toks, qw -> len(qw)))::BIGINT AS c
                 FROM t)
-          SELECT doc_id, n_tokens,
-                 ROUND(dr, 6) AS distinct_ratio,
-                 ROUND(sr, 6) AS stopword_ratio,
-                 ROUND(ml, 6) AS mean_token_len,
-                 ROUND(LEAST(n_tokens / 64.0, 1.0) * 0.4 + dr * 0.3
-                       + LEAST(sr * 4, 1.0) * 0.2 + LEAST(ml / 8.0, 1.0) * 0.1, 6) AS quality
+          SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                 ((2 * d * 1000000 + n) // (2 * n))::DOUBLE / 1000000 AS distinct_ratio,
+                 ((2 * s * 1000000 + n) // (2 * n))::DOUBLE / 1000000 AS stopword_ratio,
+                 ((2 * c * 1000000 + n) // (2 * n))::DOUBLE / 1000000 AS mean_token_len,
+                 ((2 * (20 * n * LEAST(n, 64) + 960 * d + 640 * LEAST(4 * s, n)
+                        + 40 * LEAST(c, 8 * n)) * 1000000 + 3200 * n)
+                  // (2 * 3200 * n))::DOUBLE / 1000000 AS quality
           FROM q""",
         "ts_langid": """
           WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -41,29 +41,43 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / distinct-ratio / stopword-ratio / mean-token-length
-    composite quality score (round 6dp for oracle comparison)."""
+    composite quality score.
+
+    Every output is a RATIONAL of small integers (token/char counts),
+    so 6-dp rounding is done in exact integer arithmetic —
+    ``⌊(2a·10⁶ + b) / 2b⌋`` is round-half-up of a/b at 6 dp — instead
+    of ``round(double)``: engines disagree at half-ulp boundaries
+    (Spark rounds the double's shortest decimal repr, DuckDB rounds
+    x·10⁶ in float), which produced a genuine 1-in-5000-rows oracle
+    flake on the composite score.  quality = 0.4·min(n/64,1) +
+    0.3·(d/n) + 0.2·min(4s/n,1) + 0.1·min(c/8n,1) over the common
+    denominator 3200n."""
     sw = ", ".join(f"'{w}'" for w in sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+    def r6(num: str, den: str) -> str:
+        return f"cast((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})) as double) / 1000000"
+
     return (
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), F.split("text", " ").alias("toks"))
         .select(
             "doc_id",
-            F.size("toks").alias("n_tokens"),
-            (F.size(F.array_distinct("toks")) / F.size("toks")).alias("_distinct_ratio"),
-            (F.size(F.expr(f"filter(toks, qt -> qt in ({sw}))")) / F.size("toks")).alias("_stop_ratio"),
-            (F.expr("aggregate(toks, 0, (acc, qw) -> acc + length(qw))") / F.size("toks")).alias("_mean_len"),
+            F.expr("cast(size(toks) as bigint)").alias("_n"),
+            F.expr("cast(size(array_distinct(toks)) as bigint)").alias("_d"),
+            F.expr(f"cast(size(filter(toks, qt -> qt in ({sw}))) as bigint)").alias("_s"),
+            F.expr("cast(aggregate(toks, 0, (acc, qw) -> acc + length(qw)) as bigint)").alias("_c"),
         )
         .select(
             "doc_id",
-            "n_tokens",
-            F.round("_distinct_ratio", 6).alias("distinct_ratio"),
-            F.round("_stop_ratio", 6).alias("stopword_ratio"),
-            F.round("_mean_len", 6).alias("mean_token_len"),
-            F.round(
-                F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.4
-                + F.col("_distinct_ratio") * 0.3
-                + F.least(F.col("_stop_ratio") * 4, F.lit(1.0)) * 0.2
-                + F.least(F.col("_mean_len") / 8.0, F.lit(1.0)) * 0.1,
-                6,
+            F.col("_n").cast("int").alias("n_tokens"),
+            F.expr(r6("_d", "_n")).alias("distinct_ratio"),
+            F.expr(r6("_s", "_n")).alias("stopword_ratio"),
+            F.expr(r6("_c", "_n")).alias("mean_token_len"),
+            F.expr(
+                r6(
+                    "20 * _n * least(_n, 64) + 960 * _d"
+                    " + 640 * least(4 * _s, _n) + 40 * least(_c, 8 * _n)",
+                    "3200 * _n",
+                )
             ).alias("quality"),
         )
     )

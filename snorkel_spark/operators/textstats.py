@@ -123,3 +123,88 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             % FP_PRIME
         ).alias("fingerprint"),
     )
+
+
+def top_terms(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-``k`` vocabulary terms by DOCUMENT frequency (ties → term
+    ascending): distinct tokens per doc explode → one hash-groupBy on
+    the term (uniform key, partial agg does the heavy lifting) → a
+    single-partition top-k of the tiny (term, df) aggregate.  The
+    global sort touches |vocab| rows, not the corpus."""
+    from pyspark.sql.window import Window
+
+    df_counts = (
+        docs.select(F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("rank").cast("int").alias("rank"), "term", "doc_freq")
+    )
+
+
+# Conservative cross-engine PII patterns: character classes only — no
+# lookaround, no \b — so Java regex (Spark) and RE2 (DuckDB) agree.
+PII_PATTERNS = [
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+]
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing for training corpora: emails, phone-shaped and
+    SSN-shaped numbers are replaced by typed placeholder tokens, with
+    per-doc match counts for audit.  One projection — regex replace is
+    a built-in expression, no shuffle, no Python.  SSN runs BEFORE
+    phone (###-##-#### would otherwise partially match the phone
+    pattern's prefix); counts are measured on the ORIGINAL text so the
+    audit is order-independent."""
+    counts = [
+        F.size(F.expr(f"regexp_extract_all(text, '{rgx}', 0)")).alias(f"n_{name}")
+        for name, rgx, _ in PII_PATTERNS
+    ]
+    redacted = F.col("text")
+    for name, rgx, token in sorted(PII_PATTERNS, key=lambda p: p[0] != "ssn"):
+        redacted = F.regexp_replace(redacted, rgx, token)
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        *counts,
+        redacted.alias("redacted_text"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, shingle_n: int = 3, min_hits: int = 1
+) -> DataFrame:
+    """Training-set decontamination: flag corpus docs sharing ≥
+    ``min_hits`` distinct ``shingle_n``-gram shingles with ANY doc of
+    the (small) eval/blocklist set — the standard n-gram-overlap
+    contamination check before training on web-scale corpora.
+
+    Scale shape: the eval side's distinct shingles are a **broadcast**
+    build side (eval sets are thousands of docs; the corpus is the
+    100 TB side), so the corpus streams through explode → broadcast
+    hash semi-ish join → per-doc count — its only shuffle is the final
+    groupBy on doc_id.  Returns (doc_id, n_hits), n_hits = number of
+    DISTINCT contaminated shingles in the doc."""
+    from snorkel_spark.operators.dedup import _shingle_set_expr
+
+    ev = (
+        eval_docs.select(F.explode(F.expr(_shingle_set_expr(shingle_n))).alias("shingle"))
+        .distinct()
+    )
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.expr(_shingle_set_expr(shingle_n))).alias("shingle"),
+    )
+    return (
+        corpus.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

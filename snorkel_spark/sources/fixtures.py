@@ -151,3 +151,23 @@ def embeddings_with_planted_dups(
         "label",
     )
     return embeddings.select("vec_id", "embedding", "label").unionByName(plant)
+
+
+def docs_with_planted_pii(docs: DataFrame, every: int = 7) -> DataFrame:
+    """Deterministic PII augmentation for the redaction driver query:
+    every ``every``-th doc gets a doc_id-keyed email, an SSN-shaped and
+    a phone-shaped number appended (the raw corpus contains none, so
+    without planting the redaction query would be vacuous).  Pure
+    string concat — the DuckDB twin reproduces it exactly."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id").cast("bigint") % every == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("bigint").cast("string"),
+                F.lit("@ex.org id 123-45-6789 tel 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )

@@ -311,3 +311,63 @@ def test_ivf_kmeans_centroids_compose(spark, emb):
     assign = ivf_assign(emb, cents)
     assert assign.count() == emb.count()
     assert assign.select("centroid_id").distinct().count() <= 4
+
+
+def test_top_terms_rank_and_ties(spark):
+    from snorkel_spark.operators.textstats import top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "b a c"), (2, "a b"), (3, "a z z"), (4, "q")],
+        "doc_id long, text string",
+    )
+    got = [(r["rank"], r["term"], r["doc_freq"]) for r in
+           top_terms(docs, k=3).orderBy("rank").collect()]
+    # df: a=3, b=2, c=1, z=1(distinct per doc), q=1 → ties at 1 break
+    # alphabetically; within-doc repeats count once
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]
+
+
+def test_redact_pii_planted(spark, docs):
+    """Planted PII is counted and fully scrubbed; untouched docs pass
+    through byte-identical; the SSN-shaped id is not half-eaten by the
+    phone pattern."""
+    from snorkel_spark.operators.textstats import redact_pii
+    from snorkel_spark.sources.fixtures import docs_with_planted_pii
+
+    aug = docs_with_planted_pii(docs)
+    red = redact_pii(aug).cache()
+    planted = red.filter(F.expr("cast(doc_id as bigint) % 7 = 0"))
+    n_planted = planted.count()
+    assert n_planted > 0
+    assert planted.filter("n_email = 1 and n_phone = 1 and n_ssn = 1").count() == n_planted
+    assert planted.filter(
+        "redacted_text like '%[EMAIL]%' and redacted_text like '%[PHONE]%'"
+        " and redacted_text like '%[SSN]%'"
+    ).count() == n_planted
+    leak = red.filter(
+        "redacted_text rlike '[0-9]{3}-[0-9]{2}-[0-9]{4}'"
+        " or redacted_text rlike '@[A-Za-z0-9.-]+[.][A-Za-z]'"
+    )
+    assert leak.count() == 0
+    clean = red.filter(F.expr("cast(doc_id as bigint) % 7 != 0"))
+    joined = clean.join(docs.selectExpr("cast(doc_id as string) doc_id", "text"), "doc_id")
+    assert joined.filter("redacted_text != text").count() == 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc sharing a 3-gram window with the eval doc is
+    flagged with the exact distinct-shingle hit count; disjoint docs
+    are not flagged; min_hits filters."""
+    from snorkel_spark.operators.textstats import decontaminate
+
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "x alpha beta gamma y"),       # shares 1 shingle: 'alpha beta gamma'
+         (2, "alpha beta gamma delta tail"),  # shares 2
+         (3, "no overlap here at all")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"] for r in decontaminate(corpus, ev, 3).collect()}
+    assert got == {"1": 1, "2": 2}
+    got2 = {r["doc_id"] for r in decontaminate(corpus, ev, 3, min_hits=2).collect()}
+    assert got2 == {"2"}

@@ -622,6 +622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs_with_planted_pii(spark.read.parquet(f"{sf}/documents.parquet"))
         )
 
+    def ts_split_assign(spark, sf):
+        from snorkel_spark.operators.textstats import assign_splits
+
+        return assign_splits(spark.read.parquet(f"{sf}/documents.parquet"))
+
+    def ts_repetition(spark, sf):
+        from snorkel_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(spark.read.parquet(f"{sf}/documents.parquet"))
+
     def dd_decontaminate(spark, sf):
         # eval split = doc_id % 97 == 0 (deterministic); corpus = rest;
         # n_hits = distinct 3-shingles shared with ANY eval doc
@@ -830,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fingerprint": ts_fingerprint,
         "ts_top_terms": ts_top_terms,
         "ts_redact_pii": ts_redact_pii,
+        "ts_split_assign": ts_split_assign,
+        "ts_repetition": ts_repetition,
         "dd_decontaminate": dd_decontaminate,
         "dd_exact_groups": dd_exact_groups,
         "dd_minhash_pairs": dd_minhash_pairs,
@@ -1544,6 +1556,45 @@ def oracle_sql() -> dict[str, str]:
                      '{_PII_EMAIL}', '[EMAIL]', 'g'),
                      '{_PII_PHONE}', '[PHONE]', 'g') AS redacted_text
           FROM p""",
+        # hex→int without conv() (DuckDB lacks it): Σ digit·16^pos via
+        # strpos on the hex alphabet — exact integer arithmetic
+        "ts_split_assign": """
+          WITH h AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 list_sum(list_transform(range(0, 4), hd ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), hd + 1, 1)) - 1)
+                   * (CASE hd WHEN 0 THEN 4096 WHEN 1 THEN 256 WHEN 2 THEN 16 ELSE 1 END)))
+                 % 100 AS b
+               FROM documents)
+          SELECT doc_id, CAST(b AS INT) AS bucket,
+                 CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h""",
+        "ts_repetition": """
+          WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                            string_split(text, ' ') AS toks FROM documents),
+          g AS (SELECT doc_id, len(toks)::BIGINT AS n,
+                  CASE WHEN len(toks) < 2 THEN 0 ELSE
+                    list_max(list_transform(
+                      list_distinct(list_transform(range(0, len(toks) - 1),
+                        gi -> array_to_string(toks[gi + 1 : gi + 2], ' '))),
+                      gs -> len(list_filter(list_transform(range(0, len(toks) - 1),
+                        gi -> array_to_string(toks[gi + 1 : gi + 2], ' ')), gx -> gx = gs))))
+                  END::BIGINT AS c2,
+                  CASE WHEN len(toks) < 3 THEN 0 ELSE
+                    list_max(list_transform(
+                      list_distinct(list_transform(range(0, len(toks) - 2),
+                        gi -> array_to_string(toks[gi + 1 : gi + 3], ' '))),
+                      gs -> len(list_filter(list_transform(range(0, len(toks) - 2),
+                        gi -> array_to_string(toks[gi + 1 : gi + 3], ' ')), gx -> gx = gs))))
+                  END::BIGINT AS c3
+                FROM t)
+          SELECT doc_id, CAST(n AS INT) AS n_tokens,
+                 c2 AS top2_cnt,
+                 ((2 * c2 * 2 * 1000000 + n) // (2 * n))::DOUBLE / 1000000 AS top2_frac,
+                 c3 AS top3_cnt,
+                 ((2 * c3 * 3 * 1000000 + n) // (2 * n))::DOUBLE / 1000000 AS top3_frac
+          FROM g""",
         "dd_decontaminate": f"""
           WITH ev AS (SELECT DISTINCT unnest({_sset_sql(3)}) AS shingle
                       FROM documents WHERE doc_id % 97 = 0),

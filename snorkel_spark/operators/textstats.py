@@ -208,3 +208,70 @@ def decontaminate(
         .agg(F.count("*").alias("n_hits"))
         .filter(F.col("n_hits") >= min_hits)
     )
+
+
+def assign_splits(
+    docs: DataFrame, train: int = 80, val: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: bucket =
+    (first 4 hex digits of md5(doc_id)) mod 100 — a content-stable
+    uniform hash both engines compute identically, so re-runs, resumes
+    and the SQL oracle all agree on every row.  Buckets [0, train) →
+    'train', [train, train+val) → 'val', rest → 'test'.  One
+    projection, no shuffle; at 100 TB the same expression works as a
+    write-time partition column."""
+    b = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        b.cast("int").alias("bucket"),
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition signals: the token-coverage
+    fraction of the single most frequent 2-gram and 3-gram per doc
+    (boilerplate and template text light these up).  Per-doc work is
+    O(distinct·total) over the n-gram lists — quadratic in DOC length
+    only, embarrassingly parallel over docs, no shuffle.  Fractions are
+    6-dp rounded in exact integer arithmetic (same rationale as
+    ``quality_scores``)."""
+
+    def r6(num: str, den: str) -> str:
+        return f"cast((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})) as double) / 1000000"
+
+    def max_cnt(n: int) -> str:
+        grams = (
+            f"transform(sequence(0, size(_toks) - {n}),"
+            f" gi -> array_join(slice(_toks, gi + 1, {n}), ' '))"
+        )
+        return (
+            f"if(size(_toks) < {n}, 0L, cast(array_max(transform("
+            f"array_distinct({grams}), gs -> size(filter({grams}, gx -> gx = gs)))) as bigint))"
+        )
+
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(_toks)").alias("n_tokens"),
+            F.expr(max_cnt(2)).alias("top2_cnt"),
+            F.expr(max_cnt(3)).alias("top3_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top2_cnt",
+            F.expr(r6("top2_cnt * 2", "n_tokens")).alias("top2_frac"),
+            "top3_cnt",
+            F.expr(r6("top3_cnt * 3", "n_tokens")).alias("top3_frac"),
+        )
+    )

@@ -371,3 +371,65 @@ def test_decontaminate_planted_overlap(spark):
     assert got == {"1": 1, "2": 2}
     got2 = {r["doc_id"] for r in decontaminate(corpus, ev, 3, min_hits=2).collect()}
     assert got2 == {"2"}
+
+
+def test_assign_splits_deterministic_and_proportional(spark, docs):
+    from snorkel_spark.operators.textstats import assign_splits
+
+    s1 = assign_splits(docs)
+    s2 = assign_splits(docs)
+    assert s1.exceptAll(s2).count() == 0  # content-stable across runs
+    frac = {r["split"]: r["count"] for r in s1.groupBy("split").count().collect()}
+    n = sum(frac.values())
+    assert n == docs.count()
+    # uniform hash → rough 80/10/10 (wide tolerance at 500 docs)
+    assert 0.6 < frac.get("train", 0) / n < 0.95
+    assert frac.get("val", 0) > 0 and frac.get("test", 0) > 0
+    # buckets in range, split consistent with bucket
+    bad = s1.filter(
+        "bucket < 0 or bucket > 99"
+        " or (bucket < 80 and split != 'train')"
+        " or (bucket >= 80 and bucket < 90 and split != 'val')"
+        " or (bucket >= 90 and split != 'test')"
+    )
+    assert bad.count() == 0
+
+
+def test_repetition_stats_planted(spark):
+    from snorkel_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham"),   # 'spam ham' 2-gram ×3
+         (2, "a b c d e f"),                  # all n-grams unique
+         (3, "x")],                           # too short for any n-gram
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got["1"]["top2_cnt"] == 3 and got["1"]["top2_frac"] == 1.0
+    assert got["1"]["top3_cnt"] == 2  # 'spam ham spam' ×2 (overlapping)
+    assert got["2"]["top2_cnt"] == 1 and got["2"]["top2_frac"] == round(2 / 6, 6)
+    assert got["3"]["top2_cnt"] == 0 and got["3"]["top2_frac"] == 0.0
+
+
+def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
+    """The documented IVF scale claim, demonstrated: corpus written
+    partitioned by centroid_id → a probe filter becomes PARTITION
+    pruning at the scan (visible in the physical plan), and the pruned
+    read returns exactly the probed lists."""
+    import contextlib
+    import io
+
+    from snorkel_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, 8)
+    idx = ivf_assign(emb, cents)
+    path = str(tmp_path / "ivf_corpus")
+    emb.join(idx, "vec_id").write.partitionBy("centroid_id").parquet(path)
+    probed = spark.read.parquet(path).filter(F.col("centroid_id").isin([0, 3]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    want = idx.filter(F.col("centroid_id").isin([0, 3])).count()
+    assert probed.count() == want and want > 0

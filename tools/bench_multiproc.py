@@ -1,0 +1,108 @@
+"""Multi-process N→4N proxy: 4 concurrent one-JVM workers × local[8]
+vs 1 worker × local[8] — the sandbox's closest analogue of "4 executors
+vs 1 executor", because each worker owns its JVM heap exactly like a
+cluster executor does.
+
+Why this pair matters: the in-JVM pair local[8]→local[32] mixes engine
+scaling with shared-heap allocator contention that NO cluster has (one
+JVM per executor).  The md5-burn microbench quantifies the confound
+(32 threads in one JVM: 0.56 eff; 32 across processes: 27.6×/32 =
+0.86).  Here the *actual pipeline* runs 4-per-executor-JVM: each
+process runs the same interleaved two-size replicate protocol as the
+main campaign (tools/scaling_worker.py — per-pass walls in a warm JVM,
+marginal throughput cancels fixed costs), so
+
+    eff = Σ_p tp_p(4 concurrent) / (4 · tp(1 alone)).
+
+Writes BENCH/multiproc.json; tools/bench_scaling.py folds it into
+BENCH/BASELINE.md.
+
+Usage: python tools/bench_multiproc.py   (env: SPARK_GRAFT_RUNS,
+SPARK_GRAFT_SIZES, SPARK_GRAFT_SF_DIR as in the main campaign)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def launch(cpus: int, sizes: list[int], runs: int, sf_dir: str):
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    return subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
+         str(cpus), ",".join(map(str, sizes)), str(runs), sf_dir, "none"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+
+def marginal_tp(rows: list[dict], r1: int, r2: int) -> float:
+    """Paired per-replicate marginal throughput, median over replicates
+    (the campaign's paired estimator)."""
+    a = [r["wall"] for r in rows if r["size"] == r1]
+    b = [r["wall"] for r in rows if r["size"] == r2]
+    d_rows = ([r["n_sentences"] for r in rows if r["size"] == r2][0]
+              - [r["n_sentences"] for r in rows if r["size"] == r1][0])
+    vals = [d_rows / (w2 - w1) for w1, w2 in zip(a, b) if w2 > w1]
+    return statistics.median(vals) if vals else d_rows / (
+        statistics.median(b) - statistics.median(a)
+    )
+
+
+def collect(proc) -> list[dict]:
+    out, err = proc.communicate(timeout=5400)
+    rows = [json.loads(l) for l in out.strip().splitlines() if l.startswith("{")]
+    if not rows:
+        raise RuntimeError(f"worker produced no rows:\n{err[-2000:]}")
+    return rows
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sizes = [int(x) for x in os.environ.get("SPARK_GRAFT_SIZES", "48,192").split(",")]
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
+    n_proc = int(os.environ.get("SPARK_GRAFT_PROCS", "4"))
+    r1, r2 = sizes
+
+    # phase A: one worker alone (the "N executors" point)
+    solo = collect(launch(8, sizes, runs, sf_dir))
+    tp_solo = marginal_tp(solo, r1, r2)
+    print(f"solo local[8]: {tp_solo:.0f} sentences/s (marginal)", flush=True)
+
+    # phase B: n_proc workers concurrently (the "4N executors" point)
+    procs = [launch(8, sizes, runs, sf_dir) for _ in range(n_proc)]
+    per = [collect(p) for p in procs]
+    tps = [marginal_tp(rows, r1, r2) for rows in per]
+    agg = sum(tps)
+    eff = agg / (n_proc * tp_solo)
+    print(f"{n_proc}× concurrent local[8]: per-proc {[f'{t:.0f}' for t in tps]}"
+          f" agg {agg:.0f} → eff {eff:.3f}", flush=True)
+
+    out = {
+        "n_proc": n_proc,
+        "cpus_each": 8,
+        "sizes": sizes,
+        "runs": runs,
+        "tp_solo": round(tp_solo, 1),
+        "tp_each": [round(t, 1) for t in tps],
+        "tp_aggregate": round(agg, 1),
+        "efficiency": round(eff, 3),
+        "solo_walls": {str(s): [r["wall"] for r in solo if r["size"] == s] for s in sizes},
+        "proc_walls": [
+            {str(s): [r["wall"] for r in rows if r["size"] == s] for s in sizes}
+            for rows in per
+        ],
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "multiproc.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"multiproc_eff": out["efficiency"]}))
+
+
+if __name__ == "__main__":
+    main()

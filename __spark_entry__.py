@@ -587,6 +587,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return t.select("subj", "pred", "obj", "n_evidence")
 
     # ---- training-data-pipeline operators --------------------------
+    def ev_asof_join(spark, sf):
+        # the as-of join Spark lacks: each click attaches the latest
+        # at-or-before purchase per user (right side pre-aggregated to
+        # one row per (user, ts) so "latest" is well-defined); oracle =
+        # DuckDB's native ASOF JOIN
+        from snorkel_spark.operators.temporal import asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        clicks = ev.filter("event_type = 'click'")
+        purch = (
+            ev.filter("event_type = 'purchase'")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("value"))
+        )
+        return asof_join(clicks, purch, key="user_id", ts_col="ts")
+
     def ts_token_stats(spark, sf):
         from snorkel_spark.operators.textstats import token_stats
 
@@ -834,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": ev_sessionize,
         "ev_sessionize_stateful": ev_sessionize_stateful,
         "ev_json_prop_sums": ev_json_prop_sums,
+        "ev_asof_join": ev_asof_join,
         "ts_token_stats": ts_token_stats,
         "ts_quality": ts_quality,
         "ts_langid": ts_langid,
@@ -1712,6 +1729,14 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(ns) AS BIGINT) AS n_sessions,
                  CAST(COUNT(*) AS BIGINT) AS n_events
           FROM o GROUP BY user_id""",
+        "ev_asof_join": """
+          WITH l AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value
+                     FROM events WHERE event_type = 'click'),
+          r AS (SELECT user_id, ts, MAX(CAST(value AS DOUBLE)) AS rvalue
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT l.user_id, l.ts, l.value,
+                 r.ts AS r_ts, r.rvalue AS r_value
+          FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
         "ev_json_prop_sums": """
           SELECT event_type, COUNT(*) AS n,
                  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k

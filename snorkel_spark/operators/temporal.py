@@ -1,0 +1,82 @@
+"""Temporal joins Spark lacks as built-ins: the as-of join.
+
+For every left row, attach the LATEST right row with
+``right.ts <= left.ts`` within the same key — the standard operator
+for "state as of the event" lookups (last price before a trade, last
+session attribute before a click).  Spark has no ASOF JOIN; the
+classic distributed formulation is used here: union both sides with a
+side marker, one window per key ordered by (ts, marker) with a
+carry-forward ``last(..., ignorenulls)`` over the right side's values,
+then keep the left rows.  Exactly ONE shuffle (the window's partition
+by key) — no range cross-join, no per-row Python; equal timestamps
+order the right side first, so a right row AT the left's timestamp is
+visible (the ``>=`` convention, matching DuckDB's ``ASOF JOIN`` which
+serves as the oracle).
+
+At 100 TB scale notes: the window sorts each key's rows — fine for
+event-stream keys (bounded per-user history); for mega-keys, bucket
+the time axis first (join on (key, ts_bucket) + carry the bucket
+boundary state) so no single key's history must sort in one task.
+Right-side duplicates at the same (key, ts) make "latest" ambiguous —
+pre-aggregate the right side to one row per (key, ts) before calling
+(the driver query does) or accept last-in-sort nondeterminism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    left_vals: tuple[str, ...] = ("value",),
+    right_vals: tuple[str, ...] = ("value",),
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """(key, ts, *left_vals, r_ts, *r_<right_vals>) — inner semantics:
+    left rows with no right row at-or-before their timestamp drop.
+    Value columns must be double-castable (the union's carry struct is
+    typed once for both sides)."""
+    from pyspark.sql.window import Window
+
+    lv = [F.col(c).cast("double").alias(f"l_{c}") for c in left_vals]
+    rv_struct = F.struct(
+        F.col(ts_col).alias("rts"), *[F.col(c).alias(c) for c in right_vals]
+    )
+    l = left.select(
+        F.col(key), F.col(ts_col).cast("timestamp").alias("_ts"), *lv,
+        F.lit(1).alias("_side"), F.lit(None).cast(
+            f"struct<rts:timestamp,{','.join(f'{c}:double' for c in right_vals)}>"
+        ).alias("_rv"),
+    )
+    r = right.select(
+        F.col(key), F.col(ts_col).cast("timestamp").alias("_ts"),
+        *[F.lit(None).cast("double").alias(f"l_{c}") for c in left_vals],
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts_col).cast("timestamp").alias("rts"),
+            *[F.col(c).cast("double").alias(c) for c in right_vals],
+        ).alias("_rv"),
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).withColumn(
+        "_carry", F.last("_rv", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("_side") == 1) & F.col("_carry").isNotNull())
+        .select(
+            key,
+            F.col("_ts").alias(ts_col),
+            *[F.col(f"l_{c}").alias(c) for c in left_vals],
+            F.col("_carry.rts").alias(f"{right_prefix}{ts_col}"),
+            *[F.col(f"_carry.{c}").alias(f"{right_prefix}{c}") for c in right_vals],
+        )
+    )

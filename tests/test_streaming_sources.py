@@ -233,3 +233,30 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
     }
     assert batch == {("10:00", "click", 3), ("10:25", "click", 1),
                      ("11:00", "click", 1)}, batch
+
+
+def test_asof_join_semantics(spark):
+    """Pinned as-of contract: latest at-or-before right row per key;
+    equal timestamps MATCH (>= convention, like DuckDB ASOF JOIN);
+    left rows before any right row drop; carry resets per key."""
+    from datetime import datetime
+
+    from snorkel_spark.operators.temporal import asof_join
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)
+    left = spark.createDataFrame(
+        [(1, t(0), 10.0),   # before any right row for key 1 → drops
+         (1, t(5), 11.0),   # matches right @10:03 (w=7), not @10:06
+         (1, t(6), 12.0),   # equal-ts right @10:06 visible → w=8
+         (2, t(9), 13.0)],  # key 2 has its own carry → w=5
+        "user_id int, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, t(3), 7.0), (1, t(6), 8.0), (2, t(1), 5.0)],
+        "user_id int, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["ts"].minute): (r["r_ts"].minute, r["r_value"])
+        for r in asof_join(left, right).collect()
+    }
+    assert got == {(1, 5): (3, 7.0), (1, 6): (6, 8.0), (2, 9): (1, 5.0)}, got

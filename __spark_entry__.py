@@ -603,6 +603,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return asof_join(clicks, purch, key="user_id", ts_col="ts")
 
+    def ev_range_join(spark, sf):
+        # unkeyed band join via time-bucketing (the naive theta join is
+        # a cross product): signup events to error events within 150 s
+        from snorkel_spark.operators.temporal import range_join_bucketed
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return range_join_bucketed(
+            ev.filter("event_type = 'signup'"),
+            ev.filter("event_type = 'error'"),
+            window_sec=150,
+        )
+
     def ts_token_stats(spark, sf):
         from snorkel_spark.operators.textstats import token_stats
 
@@ -851,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize_stateful": ev_sessionize_stateful,
         "ev_json_prop_sums": ev_json_prop_sums,
         "ev_asof_join": ev_asof_join,
+        "ev_range_join": ev_range_join,
         "ts_token_stats": ts_token_stats,
         "ts_quality": ts_quality,
         "ts_langid": ts_langid,
@@ -1729,6 +1742,13 @@ def oracle_sql() -> dict[str, str]:
                  CAST(SUM(ns) AS BIGINT) AS n_sessions,
                  CAST(COUNT(*) AS BIGINT) AS n_events
           FROM o GROUP BY user_id""",
+        "ev_range_join": """
+          WITH l AS (SELECT ts, CAST(value AS DOUBLE) AS value
+                     FROM events WHERE event_type = 'signup'),
+          r AS (SELECT ts AS r_ts, CAST(value AS DOUBLE) AS r_value
+                FROM events WHERE event_type = 'error')
+          SELECT l.ts, l.value, r.r_ts, r.r_value
+          FROM l JOIN r ON ABS(epoch_us(l.ts) - epoch_us(r.r_ts)) <= 150000000""",
         "ev_asof_join": """
           WITH l AS (SELECT user_id, ts, CAST(value AS DOUBLE) AS value
                      FROM events WHERE event_type = 'click'),

@@ -80,3 +80,51 @@ def asof_join(
             *[F.col(f"_carry.{c}").alias(f"{right_prefix}{c}") for c in right_vals],
         )
     )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    window_sec: int = 150,
+    left_vals: tuple[str, ...] = ("value",),
+    right_vals: tuple[str, ...] = ("value",),
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs with |left.ts − right.ts| ≤ window_sec —
+    UNKEYED, so a naive theta-join would be a BroadcastNestedLoop cross
+    product (O(n·m), the plan that dies first at scale).  The standard
+    fix, spelled out: bucket the time axis at ``window_sec`` width; a
+    qualifying pair's buckets differ by at most 1, so each left row
+    EXPLODES into its bucket ± 1 (3 rows — bounded, unlike the cross
+    product) and joins the right side EQUI on the bucket key, then the
+    exact |Δt| predicate filters inside the co-partitioned stage.  Cost
+    is O(pairs-in-±1-bucket), i.e. proportional to the true output for
+    time-spread streams; hot buckets (time skew) are AQE's skew-join
+    case or a salt on the bucket key.  Same trick generalizes to any
+    1-D band join (numeric ranges, geohash bands)."""
+    # integer div, not float: micros ÷ width stays exact at any epoch
+    b = lambda c: F.expr(f"unix_micros(cast({c} as timestamp)) div {window_sec * 1_000_000}")
+    l = left.select(
+        F.col(ts_col).cast("timestamp").alias("lts"),
+        *[F.col(c).cast("double").alias(f"l_{c}") for c in left_vals],
+        F.explode(F.array(b(ts_col) - 1, b(ts_col), b(ts_col) + 1)).alias("bucket"),
+    )
+    r = right.select(
+        F.col(ts_col).cast("timestamp").alias("rts"),
+        *[F.col(c).cast("double").alias(f"r_{c}") for c in right_vals],
+        b(ts_col).alias("bucket"),
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(
+            F.abs(F.unix_micros("lts") - F.unix_micros("rts"))
+            <= window_sec * 1_000_000
+        )
+        .select(
+            F.col("lts").alias(ts_col),
+            *[F.col(f"l_{c}").alias(c) for c in left_vals],
+            F.col("rts").alias(f"{right_prefix}{ts_col}"),
+            *[F.col(f"r_{c}").alias(f"{right_prefix}{c}") for c in right_vals],
+        )
+    )

@@ -260,3 +260,32 @@ def test_asof_join_semantics(spark):
         for r in asof_join(left, right).collect()
     }
     assert got == {(1, 5): (3, 7.0), (1, 6): (6, 8.0), (2, 9): (1, 5.0)}, got
+
+
+def test_range_join_bucketed_equals_naive(spark, events):
+    """The bucketed band join returns EXACTLY the naive theta-join's
+    pairs (bucketing is candidate generation, the |dt| filter is
+    exact), and its plan is an equi-join on the bucket key — no
+    BroadcastNestedLoop/cartesian anywhere."""
+    import contextlib
+    import io
+
+    from snorkel_spark.operators.temporal import range_join_bucketed
+
+    l = events.filter("event_type = 'signup'")
+    r = events.filter("event_type = 'error'")
+    got = range_join_bucketed(l, r, window_sec=150)
+    naive = (
+        l.selectExpr("cast(ts as timestamp) ts", "cast(value as double) value")
+        .join(
+            r.selectExpr("cast(ts as timestamp) r_ts", "cast(value as double) r_value"),
+            F.expr("abs(unix_micros(ts) - unix_micros(r_ts)) <= 150000000"),
+        )
+    )
+    assert got.count() == naive.count() > 0
+    assert got.exceptAll(naive).count() == 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue().split("== Physical Plan ==")[-1]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

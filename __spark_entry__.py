@@ -562,6 +562,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "candidate_id", F.round("prob_true", 6).alias("prob_true")
         )
 
+    def g1c_marginals_with_deps(spark, sf):
+        # structure learning → structure-aware label model, end to end:
+        # the ICML'17 pseudolikelihood learner's selected dependencies
+        # are MASKED into the matrix-completion fit (their O blocks no
+        # longer constrain μ̂), then marginals score distributedly.  The
+        # oracle replays the identical chain on DuckDB-computed inputs.
+        from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
+        from snorkel_spark.labelmodel.model import LabelModel
+        from snorkel_spark.labelmodel.structure import (
+            select_dependencies_pseudolikelihood,
+        )
+
+        L = _label_matrix(spark, sf).cache()
+        n_total = L.select("candidate_id").distinct().count()
+        deps, _W = select_dependencies_pseudolikelihood(
+            L, m=7, n_total=n_total, threshold=0.05
+        )
+        C, n = compute_O_selfjoin(L, m=7)
+        lm = LabelModel(m=7, deps=deps).fit(C, n)
+        return lm.marginals(spark, L).select(
+            "candidate_id", F.round("prob_true", 6).alias("prob_true")
+        )
+
     def g1_triples_labelmodel(spark, sf):
         from snorkel_spark.labelmodel.encoding import compute_O_selfjoin
         from snorkel_spark.labelmodel.model import LabelModel
@@ -851,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n2_triples_mv": n2_triples_mv,
         "n3_salted_entity_counts": n3_salted_entity_counts,
         "g1_label_model_marginals": g1_label_model_marginals,
+        "g1c_marginals_with_deps": g1c_marginals_with_deps,
         "g1_triples_labelmodel": g1_triples_labelmodel,
         # mm/ev before the dd/sim family: the driver runs queries in
         # this order under a cumulative budget; these five were the ones
@@ -985,7 +1009,41 @@ def _g1_oracle_entries() -> dict[str, str]:
             else "SELECT CAST(NULL AS INT) AS lf_a, CAST(NULL AS INT) AS lf_b,"
             " CAST(NULL AS DOUBLE) AS weight WHERE FALSE"
         )
+        # g1c: deps from the pseudolikelihood learner masked into the
+        # fit — the structure-aware μ̂ as its own VALUES table
+        deps = {
+            (j, k)
+            for j in range(m)
+            for k in range(j + 1, m)
+            if Wm[j, k] > 0.05
+        }
+        lm_deps = LabelModel(m=m, deps=deps).fit(C, n)
+        dep_factor_rows = []
+        for j in range(m):
+            for cp in range(2):
+                label = -1 if cp == 0 else 1
+                for c in range(2):
+                    lmu = float(np.log(max(lm_deps.mu[j * 2 + cp, c], EPS)))
+                    dep_factor_rows.append(f"({j}, {label}, {c}, {lmu!r})")
+        dep_values = ", ".join(dep_factor_rows)
         logp = [float(np.log(max(b, EPS))) for b in lm.class_balance]
+
+        def _marginal_cte(factor_values: str) -> str:
+            return f"""
+          factors(lf_id, label, c, log_mu) AS (VALUES {factor_values}),
+          scores AS (
+            SELECT l.candidate_id,
+                   COALESCE(SUM(CASE WHEN f.c = 0 THEN f.log_mu END), 0) + ({logp[0]!r}) AS s0,
+                   COALESCE(SUM(CASE WHEN f.c = 1 THEN f.log_mu END), 0) + ({logp[1]!r}) AS s1
+            FROM label_matrix l JOIN factors f ON f.lf_id = l.lf_id AND f.label = l.label
+            GROUP BY l.candidate_id),
+          lm_marg AS (
+            SELECT candidate_id,
+                   exp(s1 - greatest(s0, s1))
+                     / (exp(s0 - greatest(s0, s1)) + exp(s1 - greatest(s0, s1))) AS pt
+            FROM scores)
+        """
+
         scores_cte = f"""
           factors(lf_id, label, c, log_mu) AS (VALUES {values}),
           scores AS (
@@ -1013,6 +1071,10 @@ def _g1_oracle_entries() -> dict[str, str]:
             "g1_label_model_marginals": PREFIX_LABELS
             + ", "
             + scores_cte
+            + " SELECT candidate_id, ROUND(pt, 6) AS prob_true FROM lm_marg",
+            "g1c_marginals_with_deps": PREFIX_LABELS
+            + ", "
+            + _marginal_cte(dep_values)
             + " SELECT candidate_id, ROUND(pt, 6) AS prob_true FROM lm_marg",
             "g1_triples_labelmodel": PREFIX_LABELS
             + ", "

@@ -868,13 +868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_scorer_counts": g6_scorer_counts,
         "g4_dependencies": g4_dependencies,
         "g4b_conditional_dependencies": g4b_conditional_dependencies,
-        "g4c_pseudolikelihood_deps": g4c_pseudolikelihood_deps,
         "g3_learned_lf_stats": g3_learned_lf_stats,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
         "n3_salted_entity_counts": n3_salted_entity_counts,
         "g1_label_model_marginals": g1_label_model_marginals,
-        "g1c_marginals_with_deps": g1c_marginals_with_deps,
         "g1_triples_labelmodel": g1_triples_labelmodel,
         # mm/ev before the dd/sim family: the driver runs queries in
         # this order under a cumulative budget; these five were the ones
@@ -907,9 +905,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_buckets": sim_lsh_buckets,
         "sim_lsh_pairs": sim_lsh_pairs,
         "sim_embedding_near_dups": sim_embedding_near_dups,
-        # last on purpose: the costliest oracle twin (minhash CTE +
-        # recursive closure) — if the driver's budget runs dry, only
-        # this one is missed, not the whole sim family
+        # expensive tail, cheapest-loss-last: if the driver's budget
+        # runs dry here, the fewest (and most-redundant-with-other-
+        # green-queries) entries are missed
+        "g4c_pseudolikelihood_deps": g4c_pseudolikelihood_deps,
+        "g1c_marginals_with_deps": g1c_marginals_with_deps,
         "dd_duplicate_clusters": dd_duplicate_clusters,
     }
 

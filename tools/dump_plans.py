@@ -88,6 +88,20 @@ NOTES = {
         "per doc_id.  The 100 TB side is never shuffled on the shingle "
         "key — its only exchange is the final doc_id aggregation."
     ),
+    "asof_join": (
+        "As-of join (no Spark built-in): union with a side marker → one "
+        "window per key ordered by (ts, side) carrying the right side's "
+        "latest state forward — a SINGLE Exchange on the key, one sort, "
+        "no range cross-join.  Equal timestamps order the right side "
+        "first (the >= convention DuckDB's ASOF JOIN oracle uses)."
+    ),
+    "range_join": (
+        "Unkeyed |Δt| ≤ W band join: the naive theta-join plan is a "
+        "BroadcastNestedLoopJoin (O(n·m)); bucketing the time axis "
+        "turns it into an **equi-join on the bucket key** (left "
+        "explodes into bucket ± 1) with the exact predicate filtered "
+        "co-partitioned — no NestedLoop/Cartesian anywhere in the plan."
+    ),
     "cc_round": (
         "One connected-components round: labels ⋈ edges on the node key "
         "then min-agg per node — partial+final hash aggregation, one "
@@ -148,6 +162,7 @@ def main():
 
     from snorkel_spark.operators.dedup import ngram_jaccard_pairs
     from snorkel_spark.operators.similarity import ivf_topk, lsh_neighbor_pairs
+    from snorkel_spark.operators.temporal import asof_join, range_join_bucketed
     from snorkel_spark.operators.textstats import decontaminate
 
     def _cc_one_round(spark):
@@ -168,6 +183,7 @@ def main():
         )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
 
     plans = {
@@ -183,6 +199,15 @@ def main():
         "ivf_topk": ivf_topk(emb, [0, 1, 2], k=3, n_centroids=8, n_probe=2),
         "decontaminate": decontaminate(
             docs.filter("doc_id % 97 != 0"), docs.filter("doc_id % 97 = 0")
+        ),
+        "asof_join": asof_join(
+            events.filter("event_type = 'click'"),
+            events.filter("event_type = 'purchase'")
+            .groupBy("user_id", "ts").agg(F.max("value").alias("value")),
+        ),
+        "range_join": range_join_bucketed(
+            events.filter("event_type = 'signup'"),
+            events.filter("event_type = 'error'"),
         ),
         "cc_round": _cc_one_round(spark),
     }

@@ -693,6 +693,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 97 != 0)
         return decontaminate(corpus, ev, shingle_n=3, min_hits=1)
 
+    def dd_kmv_distinct(spark, sf):
+        # deterministic bottom-k cardinality sketch (cross-engine md5
+        # hashes, unlike HLL) — estimate + exact truth in one row
+        from snorkel_spark.operators.sketches import kmv_distinct_tokens
+
+        return kmv_distinct_tokens(
+            spark.read.parquet(f"{sf}/documents.parquet"), k=64, shingle_n=3
+        )
+
     def dd_exact_groups(spark, sf):
         from snorkel_spark.operators.dedup import exact_dup_groups
 
@@ -895,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_split_assign": ts_split_assign,
         "ts_repetition": ts_repetition,
         "dd_decontaminate": dd_decontaminate,
+        "dd_kmv_distinct": dd_kmv_distinct,
         "dd_exact_groups": dd_exact_groups,
         "dd_minhash_pairs": dd_minhash_pairs,
         "dd_bucket_stats": dd_bucket_stats,
@@ -1716,6 +1726,23 @@ def oracle_sql() -> dict[str, str]:
                    fi -> fi * (ascii(substr(string_split(text, ' ')[fi], 1, 1)) * 257
                                + len(string_split(text, ' ')[fi])))) % 1000000007 AS BIGINT) AS fingerprint
           FROM documents""",
+        "dd_kmv_distinct": """
+          WITH toks AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1), ss -> array_to_string(string_split(text, ' ')[ss + 1 : ss + 3], ' ')))) AS token
+                        FROM documents),
+          tt AS (SELECT token FROM toks WHERE token != ''),
+          h AS (SELECT list_sum(list_transform(range(0, 12), hd ->
+                   (strpos('0123456789abcdef', substr(md5(token), hd + 1, 1)) - 1)
+                   * (16::BIGINT ** (11 - hd))::BIGINT)) AS h
+                FROM tt),
+          sk AS (SELECT MAX(h) AS kth, COUNT(*) AS n_in_sketch
+                 FROM (SELECT h FROM h ORDER BY h LIMIT 64)),
+          ex AS (SELECT COUNT(*) AS exact_distinct FROM tt)
+          SELECT CAST(64 AS INT) AS k,
+                 ROUND(CASE WHEN sk.n_in_sketch < 64
+                            THEN sk.n_in_sketch::DOUBLE
+                            ELSE 1.7732923532771328e+16 / sk.kth END, 2) AS kmv_estimate,
+                 ex.exact_distinct
+          FROM sk, ex""",
         "dd_exact_groups": """
           SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,
                  MIN(CAST(doc_id AS VARCHAR)) AS min_doc_id

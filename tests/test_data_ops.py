@@ -433,3 +433,28 @@ def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
     want = idx.filter(F.col("centroid_id").isin([0, 3])).count()
     assert probed.count() == want and want > 0
+
+
+def test_kmv_sketch_estimate_and_degenerate(spark, docs):
+    """KMV bottom-k sketch: on a large distinct space (3-shingles) the
+    estimate lands within the ~3/√k theoretical band of the exact
+    count; when distinct < k the sketch degenerates to the exact set.
+    The plan uses TakeOrdered (per-partition bottom-k + tiny merge),
+    never a global sort."""
+    import contextlib
+    import io
+
+    from snorkel_spark.operators.sketches import kmv_distinct_tokens
+
+    row = kmv_distinct_tokens(docs, k=64, shingle_n=3).collect()[0]
+    exact = row["exact_distinct"]
+    assert exact > 64
+    assert abs(row["kmv_estimate"] - exact) / exact < 3 / (64 ** 0.5)
+    # degenerate: tiny vocabulary (< k distinct tokens) → exact
+    row2 = kmv_distinct_tokens(docs, k=64, shingle_n=1).collect()[0]
+    assert row2["kmv_estimate"] == float(row2["exact_distinct"])
+    # bottom-k plans as top-k, not a global sort
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        kmv_distinct_tokens(docs, k=64, shingle_n=3).explain(True)
+    assert "TakeOrdered" in buf.getvalue()

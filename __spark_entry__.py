@@ -702,6 +702,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             spark.read.parquet(f"{sf}/documents.parquet"), k=64, shingle_n=3
         )
 
+    def dd_kmv_jaccard(spark, sf):
+        # sketch-based corpus overlap between the decontamination eval
+        # split (doc_id % 97 == 0) and the training split — estimate
+        # and exact truth in one row
+        from snorkel_spark.operators.sketches import kmv_jaccard
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return kmv_jaccard(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            k=256, shingle_n=3,
+        )
+
     def dd_exact_groups(spark, sf):
         from snorkel_spark.operators.dedup import exact_dup_groups
 
@@ -905,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_repetition": ts_repetition,
         "dd_decontaminate": dd_decontaminate,
         "dd_kmv_distinct": dd_kmv_distinct,
+        "dd_kmv_jaccard": dd_kmv_jaccard,
         "dd_exact_groups": dd_exact_groups,
         "dd_minhash_pairs": dd_minhash_pairs,
         "dd_bucket_stats": dd_bucket_stats,
@@ -1742,6 +1756,26 @@ def oracle_sql() -> dict[str, str]:
                             THEN sk.n_in_sketch::DOUBLE
                             ELSE 1.7732923532771328e+16 / sk.kth END, 2) AS kmv_estimate,
                  ex.exact_distinct
+          FROM sk, ex""",
+        "dd_kmv_jaccard": """
+          WITH sa AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1), ss -> array_to_string(string_split(text, ' ')[ss + 1 : ss + 3], ' ')))) AS token
+                      FROM documents WHERE doc_id % 97 <> 0),
+          sb AS (SELECT DISTINCT unnest(list_distinct(list_transform(range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1), ss -> array_to_string(string_split(text, ' ')[ss + 1 : ss + 3], ' ')))) AS token
+                 FROM documents WHERE doc_id % 97 = 0),
+          ha AS (SELECT list_sum(list_transform(range(0, 12), hd ->
+                   (strpos('0123456789abcdef', substr(md5(token), hd + 1, 1)) - 1)
+                   * (16::BIGINT ** (11 - hd))::BIGINT)) AS h, 1 AS in_a, 0 AS in_b FROM sa WHERE token != ''),
+          hb AS (SELECT list_sum(list_transform(range(0, 12), hd ->
+                   (strpos('0123456789abcdef', substr(md5(token), hd + 1, 1)) - 1)
+                   * (16::BIGINT ** (11 - hd))::BIGINT)) AS h, 0 AS in_a, 1 AS in_b FROM sb WHERE token != ''),
+          u AS (SELECT h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+                FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb) GROUP BY h),
+          sk AS (SELECT COUNT(*) AS n_sk, SUM(in_a * in_b) AS n_both_sk
+                 FROM (SELECT * FROM u ORDER BY h LIMIT 256)),
+          ex AS (SELECT COUNT(*) AS n_union, SUM(in_a * in_b) AS n_both FROM u)
+          SELECT CAST(256 AS INT) AS k,
+                 ((2 * sk.n_both_sk * 1000000 + sk.n_sk) // (2 * sk.n_sk))::DOUBLE / 1000000 AS kmv_jaccard,
+                 ((2 * ex.n_both * 1000000 + ex.n_union) // (2 * ex.n_union))::DOUBLE / 1000000 AS exact_jaccard
           FROM sk, ex""",
         "dd_exact_groups": """
           SELECT md5(text) AS text_hash, COUNT(*) AS n_docs,

@@ -79,3 +79,56 @@ def kmv_distinct_tokens(
         F.round("raw_estimate", 2).alias("kmv_estimate"),
         "exact_distinct",
     )
+
+
+def kmv_jaccard(
+    docs_a: DataFrame, docs_b: DataFrame, k: int = 256, shingle_n: int = 3
+) -> DataFrame:
+    """Sketch-based corpus similarity: the bottom-k hashes of A ∪ B are
+    a uniform sample of the union, so the fraction of them present in
+    BOTH sides estimates the shingle Jaccard J(A, B) — the one-row
+    corpus-overlap number behind dataset-contamination dashboards,
+    computable from two mergeable bottom-k sketches WITHOUT holding
+    either shingle set.  Returns (k, kmv_jaccard, exact_jaccard); both
+    ratios are exact-integer-rounded at 6 dp (the ``quality_scores``
+    rationale — round(double) flakes at half boundaries, and m/k with
+    k a power of two lands on them often).  Same bottom-k plan shape
+    as ``kmv_distinct_tokens``: TakeOrdered, never a global sort."""
+    from snorkel_spark.operators.dedup import _shingle_set_expr
+
+    def side(docs, flag):
+        return (
+            docs.select(F.explode(F.expr(_shingle_set_expr(shingle_n))).alias("token"))
+            .filter(F.col("token") != "")
+            .distinct()
+            .select(
+                _token_hash().alias("h"),
+                F.lit(1 if flag == "a" else 0).alias("in_a"),
+                F.lit(1 if flag == "b" else 0).alias("in_b"),
+            )
+        )
+
+    u = (
+        side(docs_a, "a")
+        .unionByName(side(docs_b, "b"))
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    r6 = "cast((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})) as double) / 1000000"
+    sketch = (
+        u.orderBy("h")
+        .limit(k)
+        .agg(
+            F.count("*").alias("n_sk"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both_sk"),
+        )
+    )
+    exact = u.agg(
+        F.count("*").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    return sketch.crossJoin(exact).select(
+        F.lit(k).alias("k"),
+        F.expr(r6.format(num="n_both_sk", den="n_sk")).alias("kmv_jaccard"),
+        F.expr(r6.format(num="n_both", den="n_union")).alias("exact_jaccard"),
+    )

@@ -458,3 +458,21 @@ def test_kmv_sketch_estimate_and_degenerate(spark, docs):
     with contextlib.redirect_stdout(buf):
         kmv_distinct_tokens(docs, k=64, shingle_n=3).explain(True)
     assert "TakeOrdered" in buf.getvalue()
+
+
+def test_kmv_jaccard_identity_and_band(spark, docs):
+    """KMV Jaccard: a corpus against itself is exactly 1.0 through the
+    sketch (every union hash is in both sides); disjoint halves give
+    estimate and exact both near 0 within the k-sample band."""
+    from snorkel_spark.operators.sketches import kmv_jaccard
+
+    a = docs.filter("doc_id % 2 = 0")
+    same = kmv_jaccard(a, a, k=64).collect()[0]
+    assert same["kmv_jaccard"] == 1.0 and same["exact_jaccard"] == 1.0
+    b = docs.filter("doc_id % 2 = 1")
+    row = kmv_jaccard(a, b, k=256).collect()[0]
+    assert 0.0 <= row["exact_jaccard"] <= 1.0
+    # binomial band for the bottom-k sample of the union
+    j = row["exact_jaccard"]
+    band = 3 * ((j * (1 - j) / 256) ** 0.5) + 1 / 256
+    assert abs(row["kmv_jaccard"] - j) <= band, row

@@ -38,8 +38,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def add_abstain_mass(
+    patterns: np.ndarray, counts: np.ndarray, m: int, n_total: int | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold ``n_total − Σcounts`` candidates (the never-voted — rows the
+    long-form matrix cannot carry) into the all-abstain pattern, merging
+    with an existing zero row rather than duplicating it, then re-sort
+    lexicographically.  Shared by the Spark path and the DuckDB oracle
+    so both fit on byte-identical (patterns, counts) arrays."""
+    residual = 0 if n_total is None else n_total - int(counts.sum())
+    if residual > 0:
+        zero_rows = np.where(~patterns.any(axis=1))[0]
+        if zero_rows.size:
+            counts = counts.copy()
+            counts[zero_rows[0]] += residual
+        else:
+            patterns = np.vstack([patterns, np.zeros((1, m), dtype=patterns.dtype)])
+            counts = np.append(counts, residual)
+    order = np.lexsort(patterns.T[::-1])
+    return patterns[order], counts[order]
+
+
 def lf_pattern_counts(
-    L: DataFrame, m: int, n_total: int | None = None
+    L: DataFrame,
+    m: int,
+    n_total: int | None = None,
+    max_patterns: int = 65536,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Compress the long-form label matrix (candidate_id, lf_id, label)
     into (patterns (P, m) int8, counts (P,)) — the exact sufficient
@@ -47,12 +71,18 @@ def lf_pattern_counts(
 
     Two aggregations: per-candidate vote-vector assembly (shuffle on
     candidate_id — the matrix's natural key), then pattern counting
-    (shuffle on the m-vector; output ≤ min(n, 3^m) rows, so the driver
-    collect is bounded by the PATTERN diversity, never the corpus).
+    (shuffle on the m-vector; output ≤ min(n, 3^m) rows — a handful for
+    rule-like LF sets).  The driver collect is HARD-bounded by
+    ``max_patterns``: patterns are taken top-K by count (Spark plans
+    the orderBy+limit as TakeOrderedAndProject — per-partition top-K,
+    K·P-row merge, never a global sort), and if the matrix is more
+    diverse than the cap, the dropped tail's mass is folded into the
+    all-abstain pattern (an explicit, warned approximation — the exact
+    regime is len(patterns) < max_patterns, where no extra job runs).
     ``n_total`` (candidates including the never-voted) adds the
-    all-abstain pattern mass the long form cannot carry.  Patterns are
-    returned in lexicographic order so any float reduction downstream
-    is order-stable across engines/partitionings.
+    all-abstain mass the long form cannot carry.  Patterns are returned
+    in lexicographic order so any float reduction downstream is
+    order-stable across engines/partitionings.
     """
     vote_cols = [
         F.sum(F.when(F.col("lf_id") == k, F.col("label")).otherwise(0))
@@ -61,16 +91,34 @@ def lf_pattern_counts(
         for k in range(m)
     ]
     names = [f"v{k}" for k in range(m)]
+    per_cand = L.groupBy("candidate_id").agg(*vote_cols)
+    pc = per_cand.groupBy(*names).count()
     pats = (
-        L.groupBy("candidate_id").agg(*vote_cols).groupBy(*names).count().collect()
+        pc.orderBy(F.col("count").desc(), *[F.col(nm) for nm in names])
+        .limit(max_patterns)
+        .collect()
     )
-    patterns = np.array([[r[nm] for nm in names] for r in pats], dtype=np.int8)
+    patterns = np.array(
+        [[r[nm] for nm in names] for r in pats], dtype=np.int8
+    ).reshape(len(pats), m)
     counts = np.array([r["count"] for r in pats], dtype=np.int64)
-    if n_total is not None and n_total > int(counts.sum()):
-        patterns = np.vstack([patterns, np.zeros((1, m), dtype=np.int8)])
-        counts = np.append(counts, n_total - int(counts.sum()))
-    order = np.lexsort(patterns.T[::-1])
-    return patterns[order], counts[order]
+    if len(pats) == max_patterns:
+        # cap possibly hit: one extra scalar job tells us how much
+        # pattern mass the top-K missed; fold it into all-abstain
+        n_voting = per_cand.count()
+        dropped = n_voting - int(counts.sum())
+        if dropped > 0:
+            import warnings
+
+            warnings.warn(
+                f"lf_pattern_counts: pattern diversity exceeds "
+                f"max_patterns={max_patterns}; {dropped} candidates' "
+                f"patterns folded into the all-abstain row "
+                f"(approximation — raise max_patterns for exactness)",
+                stacklevel=2,
+            )
+            patterns, counts = add_abstain_mass(patterns, counts, m, n_voting)
+    return add_abstain_mass(patterns, counts, m, n_total)
 
 
 def fit_pseudolikelihood(

@@ -329,6 +329,7 @@ def connected_components(
         "component", F.col("node")
     )
     labels = labels.localCheckpoint(eager=True)
+    n_changed = 0
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("node", "v"), "v"
@@ -346,6 +347,16 @@ def connected_components(
         if n_changed == 0:
             break
     edges.unpersist()
+    if n_changed > 0:
+        # partial labels are WRONG labels (distinct ids for one true
+        # cluster) and the exact-transitive-closure oracle would catch
+        # it as an opaque mismatch — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); the graph diameter "
+            f"exceeds max_iter — raise max_iter or switch to the "
+            f"large-star/small-star construction (SOCC'14)"
+        )
     return labels
 
 

@@ -81,6 +81,72 @@ def kmv_distinct_tokens(
     )
 
 
+def kmv_shard_merge(
+    docs: DataFrame, k: int = 64, shingle_n: int = 3, n_shards: int = 8
+) -> DataFrame:
+    """The lakehouse rollup the bottom-k property promises: build ONE
+    KMV sketch per shard (shard = doc_id % n_shards — stand-in for a
+    per-day/per-partition sketch), merge the sketches (union → distinct
+    hash → re-bottom-k), and report the merged estimate next to the
+    directly-computed global estimate.  Because every hash in the
+    global bottom-k is necessarily in its own shard's bottom-k, the two
+    estimates are EQUAL BY CONSTRUCTION — the returned row is its own
+    invariant, and the DuckDB oracle re-derives both sides
+    independently.
+
+    Scale shape: the per-shard bottom-k is a window row_number over
+    (shard, h) — each shard's hashes sort WITHIN the shard's partition,
+    never globally; the merge then handles only n_shards·k rows (a
+    TakeOrdered over a vanishing input).  This is exactly how per-day
+    sketches roll up to a month in a 100 TB lakehouse without ever
+    re-scanning the days."""
+    from pyspark.sql.window import Window
+
+    from snorkel_spark.operators.dedup import _shingle_set_expr
+
+    toks = (
+        docs.select(
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+            F.explode(F.expr(_shingle_set_expr(shingle_n))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    # (shard, token) is already distinct; h = f(token) keeps it so
+    hashes = toks.select("shard", _token_hash().alias("h"))
+    w = Window.partitionBy("shard").orderBy("h")
+    shard_sketches = (
+        hashes.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    )
+    merged = (
+        shard_sketches.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n_in_sketch"))
+    )
+    global_ = (
+        hashes.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+        .agg(F.max("h").alias("g_kth"), F.count("*").alias("g_n"))
+    )
+
+    def est(n_col, kth_col):
+        return (
+            F.when(F.col(n_col) < k, F.col(n_col).cast("double"))
+            .otherwise(F.lit(float((k - 1) * _DENOM)) / F.col(kth_col))
+        )
+
+    return merged.crossJoin(global_).select(
+        F.lit(k).alias("k"),
+        F.lit(n_shards).alias("n_shards"),
+        F.round(est("n_in_sketch", "kth"), 2).alias("merged_estimate"),
+        F.round(est("g_n", "g_kth"), 2).alias("global_estimate"),
+    )
+
+
 def kmv_jaccard(
     docs_a: DataFrame, docs_b: DataFrame, k: int = 256, shingle_n: int = 3
 ) -> DataFrame:

@@ -82,6 +82,112 @@ def asof_join(
     )
 
 
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    left_vals: tuple[str, ...] = ("value",),
+    right_vals: tuple[str, ...] = ("value",),
+    right_prefix: str = "r_",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """``asof_join`` for MEGA-keys: identical output (equality-tested),
+    but no single key's full history ever sorts in one task — the
+    window path's documented 100 TB caveat, closed.
+
+    Construction: bucket the time axis at ``bucket_sec``; then
+    1. *within-bucket* as-of — the same union + carry-forward window,
+       but partitioned by (key, bucket), so each task sorts at most one
+       bucket's worth of one key's rows;
+    2. *bucket-level carry* — per (key, bucket) the latest right row
+       collapses DECLARATIVELY (``max_by``, partial agg — one row per
+       occupied bucket crosses the exchange), and a window over the
+       per-bucket rows (grouped per key: #occupied-buckets rows, never
+       event rows) carries "latest right row STRICTLY before this
+       bucket" to every left bucket — left rows sort before right rows
+       inside a bucket there, so a same-bucket right row can never leak
+       in as if it preceded the bucket;
+    3. each left row takes its within-bucket carry, else the bucket
+       carry; rows with neither drop (inner semantics, same as
+       ``asof_join``).
+
+    Cost: one extra shuffle + a tiny bucket-table window vs the plain
+    path — the price of bounding every task by bucket width instead of
+    key history.  Pick ``bucket_sec`` so a busy key's per-bucket rows
+    fit a task comfortably (10⁶ rows/bucket is still fine)."""
+    from pyspark.sql.window import Window
+
+    rv_fields = ",".join(f"{c}:double" for c in right_vals)
+    rv_type = f"struct<rts:timestamp,{rv_fields}>"
+    # integer div (floor), same discipline as range_join_bucketed
+    bucket = F.expr(f"unix_micros(_ts) div {bucket_sec * 1_000_000}")
+
+    lv = [F.col(c).cast("double").alias(f"l_{c}") for c in left_vals]
+    l = left.select(
+        F.col(key), F.col(ts_col).cast("timestamp").alias("_ts"), *lv,
+        F.lit(1).alias("_side"), F.lit(None).cast(rv_type).alias("_rv"),
+    ).withColumn("_bucket", bucket)
+    r = right.select(
+        F.col(key), F.col(ts_col).cast("timestamp").alias("_ts"),
+        *[F.lit(None).cast("double").alias(f"l_{c}") for c in left_vals],
+        F.lit(0).alias("_side"),
+        F.struct(
+            F.col(ts_col).cast("timestamp").alias("rts"),
+            *[F.col(c).cast("double").alias(c) for c in right_vals],
+        ).alias("_rv"),
+    ).withColumn("_bucket", bucket)
+
+    # 1. within-bucket carry: same convention as asof_join (right rows
+    # sort before left at equal ts → at-timestamp rows are visible)
+    wb = (
+        Window.partitionBy(key, "_bucket")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = l.unionByName(r).withColumn(
+        "_carry_in", F.last("_rv", ignorenulls=True).over(wb)
+    )
+    left_rows = in_bucket.filter(F.col("_side") == 1)
+
+    # 2. bucket-level carry from strictly-earlier buckets
+    rb_last = r.groupBy(key, "_bucket").agg(F.max_by("_rv", "_ts").alias("_last"))
+    lb = l.select(key, "_bucket").distinct().select(
+        F.col(key), "_bucket", F.lit(1).alias("_bside"),
+        F.lit(None).cast(rv_type).alias("_last"),
+    )
+    wk = (
+        Window.partitionBy(key)
+        # left-bucket rows sort BEFORE right rows of the same bucket,
+        # so the carry they see is from strictly-earlier buckets only
+        .orderBy(F.col("_bucket").asc(), F.col("_bside").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carry = (
+        rb_last.withColumn("_bside", F.lit(2))
+        .unionByName(lb)
+        .withColumn("_carry_prev", F.last("_last", ignorenulls=True).over(wk))
+        .filter(F.col("_bside") == 1)
+        .select(key, "_bucket", "_carry_prev")
+    )
+
+    # 3. attach + resolve (join keyed on (key, bucket) — co-partitioned
+    # with nothing upstream, one shuffle each side)
+    out = left_rows.join(carry, [key, "_bucket"], "left").withColumn(
+        "_carry", F.coalesce("_carry_in", "_carry_prev")
+    )
+    return (
+        out.filter(F.col("_carry").isNotNull())
+        .select(
+            key,
+            F.col("_ts").alias(ts_col),
+            *[F.col(f"l_{c}").alias(c) for c in left_vals],
+            F.col("_carry.rts").alias(f"{right_prefix}{ts_col}"),
+            *[F.col(f"_carry.{c}").alias(f"{right_prefix}{c}") for c in right_vals],
+        )
+    )
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -49,9 +49,19 @@ def marginal_tp(rows: list[dict], r1: int, r2: int) -> float:
     d_rows = ([r["n_sentences"] for r in rows if r["size"] == r2][0]
               - [r["n_sentences"] for r in rows if r["size"] == r1][0])
     vals = [d_rows / (w2 - w1) for w1, w2 in zip(a, b) if w2 > w1]
-    return statistics.median(vals) if vals else d_rows / (
-        statistics.median(b) - statistics.median(a)
-    )
+    if vals:
+        return statistics.median(vals)
+    # fallback on medians only when they are usable; a non-positive
+    # wall delta means the replicates are too noisy to estimate a
+    # marginal throughput — fail loudly, never publish a garbage eff
+    med_a, med_b = statistics.median(a), statistics.median(b)
+    if med_b <= med_a:
+        raise RuntimeError(
+            f"replicates too noisy for a marginal estimate: "
+            f"median wall at size {r2} ({med_b:.1f}s) is not above "
+            f"size {r1} ({med_a:.1f}s); raise SPARK_GRAFT_RUNS or sizes"
+        )
+    return d_rows / (med_b - med_a)
 
 
 def collect(proc) -> list[dict]:

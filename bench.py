@@ -20,9 +20,13 @@ Env knobs:
       snapshots to distributed storage whose bandwidth grows with
       nodes.  The scaling harness uses 'none' for the N→4N pair and
       publishes parquet-mode walls alongside.
-  SPARK_GRAFT_PARSER  'whitespace' (default) or 'full' — selects the
-      parse path (split-on-space vs real sentence splitting +
-      punctuation tokenization), mirroring run_kg_pipeline's knob.
+  SPARK_GRAFT_PARSER  'whitespace' or 'full' — selects the parse path
+      (split-on-space vs real sentence splitting + punctuation
+      tokenization), mirroring run_kg_pipeline's knob.  UNSET (the
+      driver's per-round run): BOTH variants run — the whitespace
+      chain stays the headline (comparable across rounds) and the full
+      chain's walls are published as full_parser_* keys, so the number
+      a real punctuated corpus pays is in the recorded JSON too.
 """
 
 from __future__ import annotations
@@ -211,7 +215,8 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repl = int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
     snapshot_mode = os.environ.get("SPARK_GRAFT_SNAPSHOT", "parquet")
-    parser = os.environ.get("SPARK_GRAFT_PARSER", "whitespace")
+    parser_env = os.environ.get("SPARK_GRAFT_PARSER")  # unset → both
+    parser = parser_env or "whitespace"
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from pyspark.sql import functions as F
@@ -224,6 +229,16 @@ def main() -> None:
     spark.range(1000).select(F.sum("id")).collect()
 
     total, q = run_pipeline(spark, sf_dir, repl, snapshot_mode, parser)
+
+    if parser_env is None:
+        # second pass: the full splitter/tokenizer chain (same session,
+        # warm JVM) — identical triples, real-punctuation parse cost
+        total_full, q_full = run_pipeline(spark, sf_dir, repl, snapshot_mode, "full")
+        q["full_parser_e2e_sec"] = total_full
+        q["full_parser_sentences_sec"] = q_full["sentences_sec"]
+        q["full_parser_n_sentences"] = q_full["n_sentences"]
+        q["full_parser_n_triples"] = q_full["n_triples"]
+        q["full_parser_triples_per_sec"] = q_full["triples_per_sec"]
 
     print(json.dumps({
         "metric": "kg_pipeline_e2e",

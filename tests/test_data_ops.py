@@ -425,14 +425,32 @@ def test_ivf_partitioned_write_prunes(spark, emb, tmp_path):
     idx = ivf_assign(emb, cents)
     path = str(tmp_path / "ivf_corpus")
     emb.join(idx, "vec_id").write.partitionBy("centroid_id").parquet(path)
-    probed = spark.read.parquet(path).filter(F.col("centroid_id").isin([0, 3]))
+    # probe two REAL inverted lists (centroid ids are stride-sampled
+    # vec_ids, not 0..k-1)
+    cids = sorted(r[0] for r in idx.select("centroid_id").distinct().collect())
+    probe = cids[:2]
+    probed = spark.read.parquet(path).filter(F.col("centroid_id").isin(probe))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         probed.explain(True)
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
-    want = idx.filter(F.col("centroid_id").isin([0, 3])).count()
+    want = idx.filter(F.col("centroid_id").isin(probe)).count()
     assert probed.count() == want and want > 0
+    # pruning is physical, not a post-filter: execute the probe and
+    # read the scan node's ACTUAL numFiles metric — strictly fewer
+    # than the partitioned corpus's file count on disk
+    import glob
+
+    total_files = len(glob.glob(f"{path}/centroid_id=*/*.parquet"))
+    probed.collect()
+    leaf = probed._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    mets, n_files = leaf.metrics().iterator(), None
+    while mets.hasNext():
+        kv = mets.next()
+        if kv._1() == "numFiles":
+            n_files = kv._2().value()
+    assert n_files is not None and 0 < n_files < total_files
 
 
 def test_kmv_sketch_estimate_and_degenerate(spark, docs):

@@ -48,6 +48,10 @@ def run_bench(cpus: int, sf_dir: str, repl: int, snapshot: str = "none") -> dict
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_REPLICATE=str(repl),
         SPARK_GRAFT_SNAPSHOT=snapshot,
+        # pin one variant: unset means bench.py runs BOTH parser chains
+        # (the driver's per-round dual report), which would double every
+        # scaling replicate for no extra signal
+        SPARK_GRAFT_PARSER="whitespace",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

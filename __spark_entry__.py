@@ -911,6 +911,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             clicks, purch, key="user_id", ts_col="ts", bucket_sec=7200
         )
 
+    def ts_c4_clean(spark, sf):
+        # C4's page-cleaning rules (JMLR'20 §2.2) over deterministically
+        # planted multi-line pages (the raw corpus is single-line salad
+        # — every rule would fire vacuously without the fixture)
+        from snorkel_spark.operators.textstats import c4_line_filters
+        from snorkel_spark.sources.fixtures import docs_with_planted_lines
+
+        return c4_line_filters(
+            docs_with_planted_lines(spark.read.parquet(f"{sf}/documents.parquet"))
+        )
+
+    def ts_pack_sequences(spark, sf):
+        # pretraining batch builder: docs laid end-to-end per shard and
+        # cut into 512-token sequences — shard-partitioned windows, no
+        # global sort
+        from snorkel_spark.operators.textstats import pack_sequences
+
+        return pack_sequences(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            max_tokens=512, n_shards=16,
+        )
+
     # ROTATION POLICY (round-4 verdict item 1): the driver's harness
     # checks the FIRST 50 registry entries; the contract has grown past
     # that, so each round the queries with the FEWEST driver-file green
@@ -946,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_kmv_merge": dd_kmv_merge,
         "m5b_ner_matcher_join": m5b_ner_matcher_join,
         "ev_asof_join_bucketed": ev_asof_join_bucketed,
+        "ts_c4_clean": ts_c4_clean,
+        "ts_pack_sequences": ts_pack_sequences,
         # --- (c) core fill (kept in-window: flagship end-to-end paths
         # and the operators the round-4-new variants must match) -----
         "s7_interleaved_scan": s7_interleaved_scan,
@@ -973,11 +997,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_range_join": ev_range_join,
         "ts_token_stats": ts_token_stats,
         "ts_quality": ts_quality,
-        "ts_langid": ts_langid,
-        "ts_fingerprint": ts_fingerprint,
         # ------- 50-query window boundary (driver checks to here) ---
         # rotated out this round — every entry below is 2–3× driver-
         # green (r01–r03) and stays green under check_contract.py
+        "ts_langid": ts_langid,
+        "ts_fingerprint": ts_fingerprint,
         "s7_roundtrip": s7_roundtrip,
         "s1_tsv_roundtrip": s1_tsv_roundtrip,
         "s2_text_files_roundtrip": s2_text_files_roundtrip,
@@ -1994,4 +2018,48 @@ def oracle_sql() -> dict[str, str]:
              ROUND(CASE WHEN gsk.n < 64 THEN gsk.n::DOUBLE
                         ELSE 1.7732923532771328e+16 / gsk.kth END, 2) AS global_estimate
       FROM merged, gsk"""
+    # C4 page cleaning over the planted multi-line fixture (twin of
+    # fixtures.docs_with_planted_lines + textstats.c4_line_filters)
+    d["ts_c4_clean"] = """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      pg AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        concat_ws(chr(10),
+          COALESCE(array_to_string(t[1:6], ' '), '') || ' this is planted sentence one.',
+          'too short.' || CASE WHEN doc_id % 97 = 0 THEN ' lorem ipsum' ELSE '' END,
+          'please enable javascript and cookie settings.',
+          COALESCE(array_to_string(t[7:12], ' '), '') || ' this is planted sentence two!',
+          'function f() { return 1; }',
+          CASE WHEN doc_id % 11 = 0
+               THEN 'this line has no terminal punctuation at all'
+               ELSE COALESCE(array_to_string(t[13:18], ' '), '') || ' this is planted sentence three?' END
+        ) AS text FROM tk),
+      c AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines,
+              list_filter(string_split(text, chr(10)), ln ->
+                len(string_split(trim(ln), ' ')) >= 5
+                AND regexp_matches(trim(ln), '[.!?"]$')
+                AND NOT (contains(lower(ln), 'javascript')
+                         OR contains(lower(ln), 'cookie'))
+                AND NOT contains(ln, '{')) AS kept,
+              text
+            FROM pg)
+      SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+             CAST(len(kept) AS INT) AS n_kept,
+             array_to_string(kept, chr(10)) AS clean_text
+      FROM c
+      WHERE NOT contains(lower(text), 'lorem ipsum') AND len(kept) >= 3"""
+    # greedy shard-local sequence packing (twin of pack_sequences)
+    d["ts_pack_sequences"] = """
+      WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        CAST(doc_id % 16 AS INT) AS shard,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, shard, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+            FROM t)
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, shard,
+             CAST(n_tokens AS INT) AS n_tokens,
+             CAST(shard * 1099511627776 + s // 512 AS BIGINT) AS seq_id,
+             CAST(s % 512 AS INT) AS offset_in_seq
+      FROM c"""
     return d

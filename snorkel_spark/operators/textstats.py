@@ -275,3 +275,103 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.expr(r6("top3_cnt * 3", "n_tokens")).alias("top3_frac"),
         )
     )
+
+
+# C4-style cleaning policy (Raffel et al., "Exploring the Limits of
+# Transfer Learning...", JMLR 2020 §2.2 — public rule set).  Word lists
+# kept tiny and explicit so the SQL twin matches verbatim.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_POLICY_WORDS = ["javascript", "cookie"]
+
+
+def c4_line_filters(
+    docs: DataFrame,
+    min_words: int = C4_MIN_WORDS_PER_LINE,
+    min_lines: int = C4_MIN_KEPT_LINES,
+) -> DataFrame:
+    """C4's deterministic page-cleaning rules as one projection +
+    filter: keep a LINE iff it ends in terminal punctuation, has ≥
+    ``min_words`` words, mentions no policy word, and contains no
+    '{' (code); keep a DOC iff it contains no 'lorem ipsum' and
+    retains ≥ ``min_lines`` lines.  Returns (doc_id, n_lines, n_kept,
+    clean_text) for surviving docs — clean_text is the kept lines
+    re-joined.
+
+    Scale shape: pure built-in expressions (split/filter/array_join)
+    over the scan — no shuffle, no Python, trivially parallel; exactly
+    the shape C4's original 156-node beam job had, minus the beam.
+    """
+    policy = " OR ".join(
+        f"contains(lower(ln), '{w}')" for w in C4_POLICY_WORDS
+    )
+    kept = F.expr(
+        f"""
+        filter(split(text, '\n'), ln ->
+          size(split(trim(ln), ' ')) >= {min_words}
+          AND regexp_like(trim(ln), '[.!?"]$')
+          AND NOT ({policy})
+          AND NOT contains(ln, '{{'))
+        """
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.size(F.split("text", "\n")).alias("n_lines"),
+            kept.alias("_kept"),
+            F.col("text"),
+        )
+        .filter(~F.expr("contains(lower(text), 'lorem ipsum')"))
+        .filter(F.size("_kept") >= min_lines)
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("_kept").alias("n_kept"),
+            F.array_join("_kept", "\n").alias("clean_text"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, max_tokens: int = 512, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic greedy document packing — the pretraining batch
+    builder: docs are laid end-to-end in doc_id order and cut into
+    fixed ``max_tokens`` sequences; each doc's sequence is the one its
+    STARTING offset falls in (a straddling doc belongs to the sequence
+    it starts in; the trainer's loader handles the boundary trim).
+    Returns (doc_id, shard, n_tokens, seq_id, offset_in_seq).
+
+    Scale shape: a global-order cumulative sum would be ONE window over
+    the whole corpus — a single-task sort at 100 TB.  Instead docs
+    shard deterministically (content-stable ``doc_id % n_shards``) and
+    pack WITHIN shards: the window partitions by shard, so each task
+    sorts one shard; sequence ids are globally unique via
+    ``shard·2⁴⁰ + local_seq``.  More shards = more parallelism and
+    only boundary-fragment waste per shard (≤ max_tokens tokens each).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .withColumn("_start", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "shard",
+            "n_tokens",
+            (
+                F.col("shard").cast("long") * F.lit(1 << 40)
+                + F.expr(f"_start div {max_tokens}")
+            ).alias("seq_id"),
+            (F.col("_start") % max_tokens).cast("int").alias("offset_in_seq"),
+        )
+    )

@@ -171,3 +171,38 @@ def docs_with_planted_pii(docs: DataFrame, every: int = 7) -> DataFrame:
             ),
         ).otherwise(F.col("text")).alias("text"),
     )
+
+
+def docs_with_planted_lines(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line page construction for the C4-cleaning
+    driver query (the raw corpus is single-line word salad — every C4
+    rule would fire vacuously).  Each doc becomes 6 lines exercising
+    one rule each: a kept sentence, a too-short line, a policy-word
+    line, a second kept sentence, a code line, and (doc_id % 11) either
+    a no-terminal-punctuation line (doc then has only 2 kept lines →
+    page-dropped by min_lines) or a third kept sentence; doc_id % 97
+    plants 'lorem ipsum' (page-dropped outright).  Pure slice/concat —
+    the DuckDB twin reproduces every byte."""
+    toks = F.split("text", " ")
+    j = lambda a, b: F.concat(F.array_join(F.slice(toks, a, b), " "))
+    # suffixes are 5 words each, so a keepable line clears the
+    # min-words rule even when its slice is empty (10-token docs exist)
+    line6 = F.when(
+        F.col("doc_id").cast("bigint") % 11 == 0,
+        F.lit("this line has no terminal punctuation at all"),
+    ).otherwise(F.concat(j(13, 6), F.lit(" this is planted sentence three?")))
+    lorem = F.when(
+        F.col("doc_id").cast("bigint") % 97 == 0, F.lit(" lorem ipsum")
+    ).otherwise(F.lit(""))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(j(1, 6), F.lit(" this is planted sentence one.")),
+            F.concat(F.lit("too short."), lorem),
+            F.lit("please enable javascript and cookie settings."),
+            F.concat(j(7, 6), F.lit(" this is planted sentence two!")),
+            F.lit("function f() { return 1; }"),
+            line6,
+        ).alias("text"),
+    )

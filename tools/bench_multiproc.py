@@ -77,25 +77,29 @@ def main():
     sizes = [int(x) for x in os.environ.get("SPARK_GRAFT_SIZES", "48,192").split(",")]
     runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     n_proc = int(os.environ.get("SPARK_GRAFT_PROCS", "4"))
+    # threads per worker JVM: 8 = the original memory-bus probe; 2 =
+    # n_proc×2 total threads stays BELOW the bus/steal wall, making it
+    # the cleanest "N→4N executors" analogue this sandbox can produce
+    cpus_each = int(os.environ.get("SPARK_GRAFT_WORKER_CPUS", "8"))
     r1, r2 = sizes
 
     # phase A: one worker alone (the "N executors" point)
-    solo = collect(launch(8, sizes, runs, sf_dir))
+    solo = collect(launch(cpus_each, sizes, runs, sf_dir))
     tp_solo = marginal_tp(solo, r1, r2)
-    print(f"solo local[8]: {tp_solo:.0f} sentences/s (marginal)", flush=True)
+    print(f"solo local[{cpus_each}]: {tp_solo:.0f} sentences/s (marginal)", flush=True)
 
     # phase B: n_proc workers concurrently (the "4N executors" point)
-    procs = [launch(8, sizes, runs, sf_dir) for _ in range(n_proc)]
+    procs = [launch(cpus_each, sizes, runs, sf_dir) for _ in range(n_proc)]
     per = [collect(p) for p in procs]
     tps = [marginal_tp(rows, r1, r2) for rows in per]
     agg = sum(tps)
     eff = agg / (n_proc * tp_solo)
-    print(f"{n_proc}× concurrent local[8]: per-proc {[f'{t:.0f}' for t in tps]}"
+    print(f"{n_proc}× concurrent local[{cpus_each}]: per-proc {[f'{t:.0f}' for t in tps]}"
           f" agg {agg:.0f} → eff {eff:.3f}", flush=True)
 
     out = {
         "n_proc": n_proc,
-        "cpus_each": 8,
+        "cpus_each": cpus_each,
         "sizes": sizes,
         "runs": runs,
         "tp_solo": round(tp_solo, 1),
@@ -109,7 +113,10 @@ def main():
         ],
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "multiproc.json"), "w") as f:
+    # suffix non-default worker widths so the original 8-cpu bus probe
+    # is never clobbered
+    name = "multiproc.json" if cpus_each == 8 else f"multiproc_c{cpus_each}.json"
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"multiproc_eff": out["efficiency"]}))
 

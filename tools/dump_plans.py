@@ -140,6 +140,20 @@ NOTES = {
         "top-k + tiny driver merge).  This is the per-day→per-month "
         "sketch rollup: days are never re-scanned."
     ),
+    "c4_clean": (
+        "C4 page cleaning: split → list-filter → size/regexp predicates "
+        "→ array_join, ALL inside one projection+filter chain over the "
+        "scan — no shuffle, no Python, whole-stage-codegen end to end.  "
+        "The 100 TB shape: embarrassingly parallel, output proportional "
+        "to survivors."
+    ),
+    "pack_sequences": (
+        "Sequence packing: the cumulative token sum runs in a window "
+        "partitioned by the content-stable shard — ONE exchange on the "
+        "shard key and each task sorts a single shard, vs the "
+        "single-task global sort a naive corpus-order cumsum would "
+        "plan.  seq_id/offset are pure projections of the running sum."
+    ),
     "ivf_pruned_scan": (
         "The IVF scale claim demonstrated end-to-end: the corpus "
         "written `partitionBy(centroid_id)`, probed with an isin "
@@ -220,7 +234,7 @@ def main():
         asof_join_bucketed,
         range_join_bucketed,
     )
-    from snorkel_spark.operators.textstats import decontaminate
+    from snorkel_spark.operators.textstats import decontaminate, pack_sequences
 
     def _cc_one_round(spark):
         """The repeated unit of connected_components: one label-
@@ -242,6 +256,12 @@ def main():
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     events = spark.read.parquet(f"{SF}/events.parquet")
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def _c4(spark, docs):
+        from snorkel_spark.operators.textstats import c4_line_filters
+        from snorkel_spark.sources.fixtures import docs_with_planted_lines
+
+        return c4_line_filters(docs_with_planted_lines(docs))
 
     def _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign):
         """Write the corpus partitioned by centroid_id, return the
@@ -294,6 +314,8 @@ def main():
         ),
         "ner_tags_join": with_ner_tags_join(sents, FX.person_full_names(spark)),
         "kmv_merge": kmv_shard_merge(docs, k=64, shingle_n=3, n_shards=8),
+        "c4_clean": _c4(spark, docs),
+        "pack_sequences": pack_sequences(docs),
         "ivf_pruned_scan": _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign),
     }
     out = ["# Physical plans of the hot-path stages\n",

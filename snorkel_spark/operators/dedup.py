@@ -346,6 +346,23 @@ def connected_components(
         labels = new_labels
         if n_changed == 0:
             break
+    if n_changed > 0:
+        # the last permitted round still changed labels — but it may
+        # have changed them INTO the fixpoint (converged exactly at
+        # round max_iter with no zero-change round to confirm it).  One
+        # extra confirmation propagation distinguishes "just converged"
+        # from "genuinely still propagating" before failing loudly.
+        prop = edges.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "component")
+        confirmed = (
+            labels.union(prop).groupBy("node").agg(F.min("component").alias("component"))
+        )
+        n_changed = (
+            confirmed.join(labels.withColumnRenamed("component", "_old"), "node")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
     edges.unpersist()
     if n_changed > 0:
         # partial labels are WRONG labels (distinct ids for one true
@@ -397,3 +414,64 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
         """
     )
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"), sim.alias("simhash"))
+
+
+def span_dedup_flags(
+    docs: DataFrame, span_tokens: int = 20, stride: int = 10
+) -> DataFrame:
+    """Cross-document exact-substring span dedup — C4's one corpus-wide
+    rule (Raffel et al. JMLR'20 §2.2: discard any three-sentence span
+    occurring more than once in the corpus) in its k-token-window form
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022): fingerprint every ``span_tokens``-token window
+    at ``stride`` offsets, count fingerprints corpus-wide, and flag per
+    doc how many of its spans occur elsewhere (or twice in the same
+    doc).  Returns (doc_id, n_spans, n_dup_spans) for every doc with ≥
+    one full window; n_dup_spans counts this doc's windows whose
+    corpus-wide occurrence count > 1.
+
+    Scale shape: Lee et al. build a suffix array — a global sorted
+    structure with no good distributed analogue.  The Spark-native
+    equivalent is strided-window fingerprinting: windows are a pure
+    projection (no shuffle), the corpus-wide count is ONE hash-groupBy
+    on a uniform 128-bit md5 key (map-side partial agg collapses
+    repeats), and the flag-back is a shuffle hash join on the same
+    uniform key — no skew, no all-pairs, corpus never collected.
+    ``stride`` bounds the blowup to ~n_tokens/stride fingerprint rows;
+    stride ≤ span_tokens/2 guarantees any duplicated region ≥
+    span_tokens + stride tokens shares at least one aligned window.
+    Occurrence rows are recomputed for the count and the flag-back
+    branch (projection-only lineage) rather than cached — at 100 TB,
+    recomputing a projection beats materializing it.
+    """
+    k, s = span_tokens, stride
+    fps = f"""
+      case when size(_toks) >= {k} then
+        transform(sequence(1, size(_toks) - {k} + 1, {s}),
+                  i -> md5(array_join(slice(_toks, i, {k}), ' ')))
+      else array() end
+    """
+    occ = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("_toks"),
+        )
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+    dup_fps = (
+        occ.groupBy("fp")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("fp")
+    )
+    per_doc = occ.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup_per_doc = (
+        occ.join(dup_fps, "fp")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return per_doc.join(dup_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+    )

@@ -241,7 +241,10 @@ def with_ner_tags(
     (⚠ snorkel/matchers.py PersonMatcher =
     RegexMatchEach(attrib='ner_tags', rgx='PERSON') ~L290–330)."""
     if method == "auto":
-        # bounded probe, not a full count: ≤ max_inline+1 rows scanned
+        # bounded COLLECT, not a bounded scan: the distinct still
+        # aggregates the whole names input (names tables are the small
+        # side by construction), but at most max_inline+1 post-distinct
+        # rows ever leave the executors
         n = names.select(alias_col).distinct().limit(max_inline + 1).count()
         method = "inline" if n <= max_inline else "join"
     if method == "join":

@@ -120,8 +120,16 @@ def asof_join_bucketed(
 
     rv_fields = ",".join(f"{c}:double" for c in right_vals)
     rv_type = f"struct<rts:timestamp,{rv_fields}>"
-    # integer div (floor), same discipline as range_join_bucketed
-    bucket = F.expr(f"unix_micros(_ts) div {bucket_sec * 1_000_000}")
+    # true floor bucketing: `div` truncates toward zero, which would
+    # merge (-width, 0) and [0, width) into one double-width bucket for
+    # pre-1970 timestamps — still correct (bucketing only needs
+    # monotonicity) but off the documented per-task size bound, so use
+    # floor() explicitly
+    w = bucket_sec * 1_000_000
+    bucket = F.expr(
+        f"(unix_micros(_ts) div {w})"
+        f" - (case when unix_micros(_ts) % {w} < 0 then 1 else 0 end)"
+    )
 
     lv = [F.col(c).cast("double").alias(f"l_{c}") for c in left_vals]
     l = left.select(

@@ -129,8 +129,13 @@ def top_terms(docs: DataFrame, k: int = 20) -> DataFrame:
     """Top-``k`` vocabulary terms by DOCUMENT frequency (ties → term
     ascending): distinct tokens per doc explode → one hash-groupBy on
     the term (uniform key, partial agg does the heavy lifting) → a
-    single-partition top-k of the tiny (term, df) aggregate.  The
-    global sort touches |vocab| rows, not the corpus."""
+    global top-k via ``orderBy().limit(k)``, which Spark plans as
+    TakeOrderedAndProject: each task keeps a k-row heap and only k rows
+    per partition reach the driver-side merge — no single-partition
+    exchange of the |vocab|-row aggregate (a web-scale vocab is
+    billions of rows; the previous global-rank window leaned on
+    WindowGroupLimit to stay safe).  The rank column is re-derived by a
+    window over the k-row result, which is trivially bounded."""
     from pyspark.sql.window import Window
 
     df_counts = (
@@ -139,11 +144,10 @@ def top_terms(docs: DataFrame, k: int = 20) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("doc_freq"))
     )
+    topk = df_counts.orderBy(F.col("doc_freq").desc(), F.col("term").asc()).limit(k)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("term").asc())
-    return (
-        df_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("rank").cast("int").alias("rank"), "term", "doc_freq")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"), "term", "doc_freq"
     )
 
 
@@ -332,8 +336,34 @@ def c4_line_filters(
     )
 
 
+def auto_n_shards(
+    total_tokens: int,
+    target_tokens_per_shard: int = 100_000_000,
+    min_shards: int = 16,
+    max_shards: int = 1 << 20,
+) -> int:
+    """Growth rule for ``pack_sequences`` sharding (mirrors
+    ``similarity.auto_n_planes``): n_shards ≈ ⌈corpus tokens /
+    ``target_tokens_per_shard``⌉ so each shard-local window sort stays
+    ≈ ``target_tokens_per_shard`` tokens (~hundreds of MB of int rows)
+    no matter how large the corpus grows — a 100 TB corpus (~2.5·10¹³
+    tokens) lands at ~250k shards of ~100M tokens, not 16 shards of
+    6 TB.  Clamped to [min_shards, max_shards]; the cap keeps seq_id's
+    ``shard·2⁴⁰`` packing collision-free (2²⁰ shards × 2⁴⁰ local
+    sequences fits in a signed 64-bit long)."""
+    import math
+
+    if total_tokens <= 0:
+        return min_shards
+    n = math.ceil(total_tokens / max(target_tokens_per_shard, 1))
+    return max(min_shards, min(max_shards, n))
+
+
 def pack_sequences(
-    docs: DataFrame, max_tokens: int = 512, n_shards: int = 16
+    docs: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int | None = 16,
+    target_tokens_per_shard: int = 100_000_000,
 ) -> DataFrame:
     """Deterministic greedy document packing — the pretraining batch
     builder: docs are laid end-to-end in doc_id order and cut into
@@ -349,8 +379,21 @@ def pack_sequences(
     sorts one shard; sequence ids are globally unique via
     ``shard·2⁴⁰ + local_seq``.  More shards = more parallelism and
     only boundary-fragment waste per shard (≤ max_tokens tokens each).
+
+    ``n_shards=None`` derives the shard count from the corpus via
+    ``auto_n_shards`` (one cheap count-style aggregation action), so
+    the per-shard sort stays ≈ ``target_tokens_per_shard`` tokens at
+    any corpus size instead of a fixed default biting at 100 TB.
     """
     from pyspark.sql.window import Window
+
+    if n_shards is None:
+        total = docs.select(
+            F.sum(F.size(F.split("text", " "))).alias("t")
+        ).first()["t"]
+        n_shards = auto_n_shards(
+            int(total or 0), target_tokens_per_shard=target_tokens_per_shard
+        )
 
     w = (
         Window.partitionBy("shard")

@@ -206,3 +206,30 @@ def docs_with_planted_lines(docs: DataFrame) -> DataFrame:
             line6,
         ).alias("text"),
     )
+
+
+# 25-token fixed paragraph for the span-dedup driver fixture: docs with
+# doc_id % 7 == 0 get it prepended, so every 12-token window lying fully
+# inside the prefix is an exact cross-document duplicate.
+PLANTED_SPAN_PREFIX = (
+    "the quick brown fox jumps over the lazy dog while the curious cat "
+    "watches from the old wooden fence near the quiet river bank today"
+)
+
+
+def docs_with_planted_spans(docs: DataFrame) -> DataFrame:
+    """Deterministic cross-document duplicated-span construction for
+    the span-dedup driver query (the raw corpus is per-doc word salad —
+    long exact spans never repeat across docs).  Docs with
+    ``doc_id % 7 == 0`` get the fixed 25-token ``PLANTED_SPAN_PREFIX``
+    prepended; all other docs pass through unchanged.  Pure
+    when/concat — the DuckDB twin reproduces every byte."""
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id").cast("bigint") % 7 == 0,
+            F.concat(F.lit(PLANTED_SPAN_PREFIX + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )

@@ -1,0 +1,185 @@
+"""Round-5 additions: cross-document exact-substring span dedup (C4's
+corpus-wide rule / Lee et al. 2022) with a planted fixture, the
+auto-shard growth rule for sequence packing, the top_terms
+TakeOrderedAndProject rewrite, the connected-components convergence
+confirmation round, and a pytest gate over the rotated-out contract
+tail (so the driver-window-excluded queries fail loudly here, not only
+in a committed snapshot file)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+# ------------------------------------------------- span dedup (Lee'22)
+def test_span_dedup_planted_cross_doc(spark, docs):
+    from snorkel_spark.operators.dedup import span_dedup_flags
+    from snorkel_spark.sources.fixtures import docs_with_planted_spans
+
+    flagged = span_dedup_flags(
+        docs_with_planted_spans(docs), span_tokens=12, stride=6
+    ).toPandas().set_index("doc_id")
+    planted = [d for d in flagged.index if int(d) % 7 == 0]
+    clean = [d for d in flagged.index if int(d) % 7 != 0]
+    assert planted and clean
+    # the 25-token shared prefix fully contains the strided 12-token
+    # windows at offsets 1, 7 and 13 → ≥ 3 cross-doc duplicated
+    # windows per planted doc
+    for d in planted:
+        assert flagged.loc[d, "n_dup_spans"] >= 3, d
+    # unplanted docs can still share spans (the corpus re-plants the
+    # same relation sentence for entity index N = doc_id % 137), but
+    # most of each doc is per-doc salad: the bulk must be flag-free
+    n_hit = sum(1 for d in clean if flagged.loc[d, "n_dup_spans"] > 0)
+    assert n_hit < len(clean) // 4
+
+
+def test_span_dedup_short_doc_and_same_doc(spark):
+    from snorkel_spark.operators.dedup import span_dedup_flags
+
+    df = spark.createDataFrame(
+        [
+            ("1", "too short to window"),  # < k tokens → no rows
+            ("2", "a b c d e f a b c d e f"),  # same span twice IN one doc
+            ("3", "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup_flags(df, span_tokens=6, stride=6).collect()
+    }
+    assert "1" not in got  # 4 tokens < 6 → no full window
+    assert got["2"] == (2, 2)  # windows at 1 and 7 are identical
+    assert got["3"] == (1, 0)
+
+
+# -------------------------------------------- pack_sequences auto-shard
+def test_auto_n_shards_growth_rule():
+    from snorkel_spark.operators.textstats import auto_n_shards
+
+    t = 100_000_000
+    assert auto_n_shards(0, target_tokens_per_shard=t) == 16
+    assert auto_n_shards(10 * t, target_tokens_per_shard=t) == 16  # min clamp
+    assert auto_n_shards(5_000 * t, target_tokens_per_shard=t) == 5_000
+    # monotone growth: 100× corpus → 100× shards (per-shard sort size
+    # is held constant, unlike a fixed default)
+    assert auto_n_shards(500_000 * t, t) == 100 * auto_n_shards(5_000 * t, t)
+    # cap keeps shard·2^40 seq_id packing inside a signed long
+    assert auto_n_shards(10**18, target_tokens_per_shard=1) == 1 << 20
+
+
+def test_pack_sequences_auto_matches_explicit(spark, docs):
+    from snorkel_spark.operators.textstats import auto_n_shards, pack_sequences
+
+    total = docs.select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    want_shards = auto_n_shards(total, target_tokens_per_shard=1000)
+    assert want_shards > 16  # the auto value actually engaged at this sf
+    auto = pack_sequences(
+        docs, max_tokens=128, n_shards=None, target_tokens_per_shard=1000
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    explicit = pack_sequences(
+        docs, max_tokens=128, n_shards=want_shards
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert auto.equals(explicit)
+    # packing invariants under the auto shard count
+    assert (auto["offset_in_seq"] < 128).all()
+    assert (auto["shard"] < want_shards).all()
+    assert auto["doc_id"].nunique() == len(auto)
+
+
+# -------------------------------------------------- top_terms plan shape
+def test_top_terms_plans_as_take_ordered(spark, docs):
+    from snorkel_spark.operators.textstats import top_terms
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        top_terms(docs, k=20).explain(True)
+    plan = buf.getvalue()
+    # global top-k must be a per-partition heap + driver merge, never a
+    # single-partition exchange of the |vocab|-row aggregate
+    assert "TakeOrdered" in plan
+    got = top_terms(docs, k=5).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    freqs = [r["doc_freq"] for r in got]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+# ------------------------------------- CC convergence confirmation round
+def _path_pairs(spark, nodes):
+    return spark.createDataFrame(
+        [(a, b) for a, b in zip(nodes, nodes[1:])], "doc_a string, doc_b string"
+    )
+
+
+def test_cc_converges_exactly_at_max_iter(spark):
+    """A 5-node path needs exactly 4 propagation rounds; with
+    max_iter=4 the final round still reports changes (it changed labels
+    INTO the fixpoint), so the guard must confirm with one extra round
+    instead of false-positively raising."""
+    from snorkel_spark.operators.dedup import connected_components
+
+    nodes = ["a", "b", "c", "d", "e"]
+    got = connected_components(_path_pairs(spark, nodes), max_iter=4)
+    assert {(r["node"], r["component"]) for r in got.collect()} == {
+        (n, "a") for n in nodes
+    }
+
+
+def test_cc_still_raises_when_genuinely_unconverged(spark):
+    from snorkel_spark.operators.dedup import connected_components
+
+    nodes = [f"n{i:02d}" for i in range(8)]  # diameter 7
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_path_pairs(spark, nodes), max_iter=2)
+
+
+# ------------------------------------------- rotated-out contract tail
+def test_rotated_out_tail_contract(spark):
+    """The driver checks only the first 50 registry entries; everything
+    past the window must keep its oracle green HERE so a regression in
+    the tail fails the suite, not just a stale snapshot file."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from tools.check_contract import canon
+
+    qs = E.queries()
+    oq = E.oracle_sql()
+    tail = list(qs)[50:]
+    assert len(tail) >= 20  # the rotation actually leaves a tail
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    fails = []
+    for name in tail:
+        sdf = qs[name](spark, SF).toPandas()
+        if name not in oq:
+            if len(sdf) == 0:
+                fails.append(f"{name}: rows-only query returned 0 rows")
+            continue
+        sc, sv = canon(sdf)
+        dc, dv = canon(con.execute(oq[name]).df())
+        if sc != dc:
+            fails.append(f"{name}: columns {sc} vs {dc}")
+        elif sv != dv:
+            fails.append(f"{name}: values differ ({len(sv)} vs {len(dv)} rows)")
+    con.close()
+    assert not fails, fails

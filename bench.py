@@ -231,10 +231,21 @@ def main() -> None:
     total, q = run_pipeline(spark, sf_dir, repl, snapshot_mode, parser)
 
     if parser_env is None:
-        # second pass: the full splitter/tokenizer chain (same session,
-        # warm JVM) — identical triples, real-punctuation parse cost
-        total_full, q_full = run_pipeline(spark, sf_dir, repl, snapshot_mode, "full")
-        q["full_parser_e2e_sec"] = total_full
+        # second variant: the full splitter/tokenizer chain in its OWN
+        # JVM (subprocess), so both variants pay identical cold-start
+        # and the two e2e walls in this JSON are mutually comparable —
+        # a warm-JVM second pass understated the full chain by ~2×
+        import subprocess
+
+        env = dict(os.environ, SPARK_GRAFT_PARSER="full")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        full = json.loads(line)
+        q_full = full["queries"]
+        q["full_parser_e2e_sec"] = full["value"]
         q["full_parser_sentences_sec"] = q_full["sentences_sec"]
         q["full_parser_n_sentences"] = q_full["n_sentences"]
         q["full_parser_n_triples"] = q_full["n_triples"]

@@ -93,7 +93,13 @@ def extract_candidates(
         )
         .withColumn("rel_type", F.lit(rel_type))
         .withColumn("split", F.lit(0))
-        .dropDuplicates(["candidate_id"])
+        # distinct-on-ALL-columns, not dropDuplicates([candidate_id]):
+        # equivalent (every column here is a deterministic function of
+        # the id's hash preimage) but plans as a pure grouping-key
+        # HashAggregate, while a subset-dedup compiles to first(string)
+        # aggregates whose variable-width buffers force SortAggregate —
+        # two extra full sorts of the wide pair rows at corpus scale
+        .dropDuplicates()
     )
     if sentences is not None:
         toks = sentences.select(F.col("sentence_id").alias("t_sid"), "tokens")
@@ -163,7 +169,13 @@ def extract_candidates_kary(
         )
         .withColumn("rel_type", F.lit(rel_type))
         .withColumn("split", F.lit(0))
-        .dropDuplicates(["candidate_id"])
+        # distinct-on-ALL-columns, not dropDuplicates([candidate_id]):
+        # equivalent (every column here is a deterministic function of
+        # the id's hash preimage) but plans as a pure grouping-key
+        # HashAggregate, while a subset-dedup compiles to first(string)
+        # aggregates whose variable-width buffers force SortAggregate —
+        # two extra full sorts of the wide pair rows at corpus scale
+        .dropDuplicates()
     )
     out_cols = ["candidate_id", "rel_type", "split", "doc_id", "sentence_id",
                 "position", "n_tokens"]

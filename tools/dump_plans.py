@@ -29,10 +29,13 @@ NOTES = {
     ),
     "candidates": (
         "Sentence-local pairing: the subj/obj join carries the equi key "
-        "(sentence_id) plus theta residuals; global dedup on the "
-        "content-hash candidate_id is the stage's only exchange.  At this "
-        "fixture size Catalyst broadcasts the build side; at scale AQE "
-        "picks shuffled hash/SMJ on sentence_id — a uniform key."
+        "(sentence_id) plus theta residuals; global dedup is the stage's "
+        "only exchange and — since round 5 — a pure grouping-key "
+        "**HashAggregate** (distinct on all columns, every one a function "
+        "of the id's hash preimage) instead of the SortAggregate+2×Sort "
+        "a subset-dedup's first(string) buffers forced.  At this fixture "
+        "size Catalyst broadcasts the build side; at scale AQE picks "
+        "shuffled hash/SMJ on sentence_id — a uniform key."
     ),
     "label_matrix": (
         "One Arrow-batched mapInPandas (the LF applier) over a narrowed "
@@ -153,6 +156,23 @@ NOTES = {
         "shard key and each task sorts a single shard, vs the "
         "single-task global sort a naive corpus-order cumsum would "
         "plan.  seq_id/offset are pure projections of the running sum."
+    ),
+    "top_terms": (
+        "Global top-k over the vocabulary aggregate: after the one "
+        "hash-groupBy on term, the k-row cut is a **TakeOrderedAndProject** "
+        "— each task keeps a k-row heap and the driver merges k rows per "
+        "partition; a billion-term web vocab never funnels through a "
+        "single-partition rank exchange.  The trailing window that "
+        "re-derives the rank column runs over exactly k rows."
+    ),
+    "span_dedup": (
+        "Cross-document exact-substring dedup (C4's corpus-wide rule / "
+        "Lee et al. 2022): strided window fingerprints are a pure "
+        "projection (no shuffle); the corpus-wide occurrence count is one "
+        "hash-groupBy on the uniform md5 key with map-side partial agg; "
+        "the flag-back is a shuffled hash join on the same uniform key "
+        "plus two doc_id groupBys.  No all-pairs stage anywhere — cost "
+        "is O(corpus tokens / stride) rows through uniform-key shuffles."
     ),
     "ivf_pruned_scan": (
         "The IVF scale claim demonstrated end-to-end: the corpus "
@@ -316,6 +336,12 @@ def main():
         "kmv_merge": kmv_shard_merge(docs, k=64, shingle_n=3, n_shards=8),
         "c4_clean": _c4(spark, docs),
         "pack_sequences": pack_sequences(docs),
+        "top_terms": __import__(
+            "snorkel_spark.operators.textstats", fromlist=["top_terms"]
+        ).top_terms(docs, k=20),
+        "span_dedup": __import__(
+            "snorkel_spark.operators.dedup", fromlist=["span_dedup_flags"]
+        ).span_dedup_flags(docs, span_tokens=12, stride=6),
         "ivf_pruned_scan": _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign),
     }
     out = ["# Physical plans of the hot-path stages\n",

@@ -844,6 +844,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         m = media_spans(synthesize_raw_documents(spark, sf))
         return frame_sample(fetch_payloads(m))
 
+    def mm_decode_images(spark, sf):
+        # REAL image decode path: solid-color BMP/PPM payloads derived
+        # from md5(doc_id) are encoded to actual container bytes, then
+        # decoded back by the pure-NumPy codecs — the oracle recomputes
+        # every decoded statistic analytically from the same md5
+        from snorkel_spark.operators.multimodal import decode_images, synthesize_images
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return decode_images(synthesize_images(docs, n=200))
+
     def ev_windowed_counts(spark, sf):
         from snorkel_spark.streaming.events import windowed_counts
 
@@ -937,6 +947,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs_with_planted_lines(spark.read.parquet(f"{sf}/documents.parquet"))
         )
 
+    def ts_gopher_rules(spark, sf):
+        # Gopher/MassiveText quality rules (Rae et al. 2021 §A1.1) over
+        # deterministically planted quality defects (the raw corpus is
+        # symbol-free single-line prose — five of the seven rules would
+        # be constant without the fixture); every threshold is integer
+        # arithmetic so the DuckDB twin is bit-exact
+        from snorkel_spark.operators.textstats import gopher_rules
+        from snorkel_spark.sources.fixtures import docs_with_planted_quality
+
+        return gopher_rules(
+            docs_with_planted_quality(spark.read.parquet(f"{sf}/documents.parquet"))
+        )
+
     def ts_pack_sequences(spark, sf):
         # pretraining batch builder: docs laid end-to-end per shard and
         # cut into 512-token sequences — shard-partitioned windows, no
@@ -953,8 +976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that, so each round the queries with the FEWEST / OLDEST
     # driver-file green rows go first.  Round 5 window: (a) the 25
     # queries rotated out in round 4 (completing the cycle — the union
-    # of r04+r05 driver files covers all 76 contract queries), (b) the
-    # round-5-new query, (c) every query whose underlying operator
+    # of r04+r05 driver files covers all 78 contract queries), (b) the
+    # round-5-new queries, (c) every query whose underlying operator
     # changed this round (regressions must show in the driver file,
     # not only in pytest), (d) flagship core fill.  The rotated-out
     # tail (all driver-green in r04) is re-verified every round by
@@ -990,6 +1013,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_scorer_counts": g6_scorer_counts,
         # --- (b) new in round 5 ------------------------------------
         "dd_span_dedup": dd_span_dedup,
+        "mm_decode_images": mm_decode_images,
+        "ts_gopher_rules": ts_gopher_rules,
         # --- (c) operators changed in round 5 (top_terms rewrite,
         # pack_sequences auto-shard, as-of floor bucketing, CC
         # confirmation round) ---------------------------------------
@@ -1016,12 +1041,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "n3_salted_entity_counts": n3_salted_entity_counts,
         "g1_label_model_marginals": g1_label_model_marginals,
         "g1_triples_labelmodel": g1_triples_labelmodel,
-        "dd_kmv_merge": dd_kmv_merge,
-        "ts_c4_clean": ts_c4_clean,
         # ------- 50-query window boundary (driver checks to here) ---
         # rotated out this round — every entry below is driver-green
         # in CORRECTNESS_r04.json and stays green under
         # check_contract.py + the pytest smoke gate
+        "dd_kmv_merge": dd_kmv_merge,
+        "ts_c4_clean": ts_c4_clean,
         "ts_token_stats": ts_token_stats,
         "ts_quality": ts_quality,
         "ts_redact_pii": ts_redact_pii,
@@ -2091,6 +2116,83 @@ def oracle_sql() -> dict[str, str]:
       SELECT p.doc_id, p.n_spans,
              COALESCE(d.n_dup_spans, 0) AS n_dup_spans
       FROM per_doc p LEFT JOIN dd d USING (doc_id)"""
+    # analytic twin of the REAL encode→decode image path: the fixture
+    # colors/dims/format are pure functions of md5(doc_id) hex pairs,
+    # and a solid-color image's decoded stats are exactly those inputs
+    # (multimodal.synthesize_images + decode_images)
+    d["mm_decode_images"] = """
+      WITH top AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id
+                   FROM (SELECT doc_id FROM documents
+                         ORDER BY doc_id LIMIT 200)),
+      h AS (SELECT doc_id, md5(doc_id) AS hx FROM top),
+      v AS (SELECT doc_id,
+              (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS r,
+              (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS g,
+              (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS b,
+              (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS wp,
+              (strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(hx, 10, 1)) - 1 AS hp
+            FROM h)
+      SELECT doc_id,
+             'media://img/' || doc_id AS media_ref,
+             CASE WHEN b % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format,
+             CAST(2 + wp % 5 AS INT) AS width,
+             CAST(2 + hp % 4 AS INT) AS height,
+             CAST(r * 1000 AS INT) AS mean_r,
+             CAST(g * 1000 AS INT) AS mean_g,
+             CAST(b * 1000 AS INT) AS mean_b
+      FROM v"""
+    # Gopher/MassiveText quality rules over the planted-defect fixture
+    # (twin of fixtures.docs_with_planted_quality +
+    # textstats.gopher_rules; every threshold is integer arithmetic so
+    # the comparison is bit-exact — no float ratio on either engine)
+    d["ts_gopher_rules"] = """
+      WITH b AS (SELECT CAST(doc_id AS BIGINT) AS did, text FROM documents),
+      f AS (SELECT CAST(did AS VARCHAR) AS doc_id,
+        text
+          || CASE WHEN did % 7 = 0 THEN ' the cat and the dog have to be there' ELSE '' END
+          || CASE WHEN did % 5 = 0 THEN ' ### ### ... extra' ELSE '' END
+          || CASE WHEN did % 11 = 0 THEN repeat(chr(10) || '- bullet point line', 9) ELSE '' END
+          || CASE WHEN did % 13 = 0 THEN chr(10) || 'this trails off...' || chr(10) || 'and this one too...' ELSE '' END
+          || CASE WHEN did % 17 = 0 THEN ' ' || repeat('z', 4000) ELSE '' END
+        AS text FROM b),
+      g AS (SELECT doc_id,
+          string_split(text, ' ') AS w,
+          string_split(text, chr(10)) AS ln,
+          CAST((length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS sym
+        FROM f),
+      m AS (SELECT doc_id,
+          len(w) AS n_words,
+          CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS c,
+          sym,
+          len(list_filter(ln, l -> regexp_matches(trim(l), '^[-*•]'))) AS bul,
+          len(list_filter(ln, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS ell,
+          len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+          len(list_intersect(list_transform(w, x -> lower(x)),
+              ['and', 'be', 'have', 'of', 'that', 'the', 'to', 'with'])) AS swd,
+          len(ln) AS nl
+        FROM g)
+      SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+        CAST(3 * n_words <= c AND c <= 10 * n_words AS INT) AS r_mean_word_len,
+        CAST(10 * sym < n_words AS INT) AS r_symbol_ratio,
+        CAST(10 * bul < 9 * nl AS INT) AS r_bullet_lines,
+        CAST(10 * ell < 3 * nl AS INT) AS r_ellipsis_lines,
+        CAST(5 * alpha > 4 * n_words AS INT) AS r_alpha_words,
+        CAST(swd >= 2 AS INT) AS r_stopwords,
+        CAST((n_words >= 50 AND n_words <= 100000)
+         AND (3 * n_words <= c AND c <= 10 * n_words)
+         AND (10 * sym < n_words)
+         AND (10 * bul < 9 * nl)
+         AND (10 * ell < 3 * nl)
+         AND (5 * alpha > 4 * n_words)
+         AND (swd >= 2) AS INT) AS keep
+      FROM m"""
     # greedy shard-local sequence packing (twin of pack_sequences)
     d["ts_pack_sequences"] = """
       WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

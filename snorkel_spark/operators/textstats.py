@@ -336,6 +336,87 @@ def c4_line_filters(
     )
 
 
+GOPHER_STOPWORDS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/MassiveText document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as one projection — per doc, each rule's
+    verdict plus the conjunction:
+
+    * word count in [min_words, max_words]
+    * mean word length in [3, 10] characters
+    * symbol-to-word ratio ('#' and '...') < 0.1
+    * < 90% of lines start with a bullet ('-' / '*' / '•')
+    * < 30% of lines end with an ellipsis
+    * > 80% of words contain ≥1 alphabetic character
+    * ≥ 2 distinct Gopher stop words appear as tokens
+
+    Every threshold is evaluated in INTEGER arithmetic (10·symbols < n,
+    5·alpha > 4·n, …) so the oracle twin is bit-exact — no float ratio
+    ever materializes.  Pure built-in expressions over the scan: no
+    shuffle, no Python, same 100 TB shape as ``c4_line_filters``.
+    (⚠ no reference counterpart — public-paper rule set; the reference
+    pipeline's analogue is its doc-preprocessor filter stage.)"""
+    sw = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.split("text", " ").alias("w"),
+            F.split("text", "\n").alias("ln"),
+            # plain (non-regex) replace in BOTH engines: DuckDB's
+            # regexp_replace is non-global by default, a silent
+            # count-of-one trap
+            (
+                (F.length("text") - F.length(F.expr("replace(text, '#', '')")))
+                + (F.length("text") - F.length(F.expr("replace(text, '...', '')"))) / F.lit(3)
+            ).cast("bigint").alias("_sym"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.expr("cast(aggregate(w, 0L, (acc, gw) -> acc + length(gw)) as bigint)").alias("_c"),
+            "_sym",
+            F.expr("size(filter(ln, gl -> trim(gl) rlike '^[-*•]'))").alias("_bul"),
+            F.expr("size(filter(ln, gl -> trim(gl) rlike '\\\\.\\\\.\\\\.$'))").alias("_ell"),
+            F.expr("size(filter(w, gw -> gw rlike '[a-zA-Z]'))").alias("_alpha"),
+            F.expr(f"size(array_intersect(transform(w, gw -> lower(gw)), array({sw})))").alias("_swd"),
+            F.size("ln").alias("_nl"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words))
+            .cast("int")
+            .alias("r_word_count"),
+            ((F.lit(3) * F.col("n_words") <= F.col("_c")) & (F.col("_c") <= F.lit(10) * F.col("n_words")))
+            .cast("int")
+            .alias("r_mean_word_len"),
+            (F.lit(10) * F.col("_sym") < F.col("n_words")).cast("int").alias("r_symbol_ratio"),
+            (F.lit(10) * F.col("_bul") < F.lit(9) * F.col("_nl")).cast("int").alias("r_bullet_lines"),
+            (F.lit(10) * F.col("_ell") < F.lit(3) * F.col("_nl")).cast("int").alias("r_ellipsis_lines"),
+            (F.lit(5) * F.col("_alpha") > F.lit(4) * F.col("n_words")).cast("int").alias("r_alpha_words"),
+            (F.col("_swd") >= 2).cast("int").alias("r_stopwords"),
+        )
+        .withColumn(
+            "keep",
+            (
+                F.col("r_word_count")
+                * F.col("r_mean_word_len")
+                * F.col("r_symbol_ratio")
+                * F.col("r_bullet_lines")
+                * F.col("r_ellipsis_lines")
+                * F.col("r_alpha_words")
+                * F.col("r_stopwords")
+            ).cast("int"),
+        )
+    )
+
+
 def auto_n_shards(
     total_tokens: int,
     target_tokens_per_shard: int = 100_000_000,

@@ -233,3 +233,31 @@ def docs_with_planted_spans(docs: DataFrame) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
+
+
+def docs_with_planted_quality(docs: DataFrame) -> DataFrame:
+    """Deterministic quality-defect planting for the Gopher-rules
+    driver query (the raw corpus is symbol-free single-line prose with
+    no function-word tokens — five of the seven MassiveText rules would
+    be constant).  Four independent residue classes plant one defect
+    family each, so rule combinations vary across docs:
+
+    * ``doc_id % 7``  — a stop-word-rich clause (stopword rule passes)
+    * ``doc_id % 5``  — '###' symbols + an ellipsis (symbol-ratio rule
+      fails for shorter docs, passes for longer ones)
+    * ``doc_id % 11`` — nine bullet lines (bullet-fraction rule fails
+      unless %13 also fires and dilutes the fraction)
+    * ``doc_id % 13`` — two ellipsis-terminated lines (ellipsis-line
+      rule fails)
+    * ``doc_id % 17`` — one 4000-char nonsense "word" (mean-word-length
+      rule fails for every sf0.01-sized doc: 4000 ≫ 10·n_words)
+
+    Pure when/concat — the DuckDB twin reproduces every byte."""
+    did = F.col("doc_id").cast("bigint")
+    t = F.col("text")
+    t = F.when(did % 7 == 0, F.concat(t, F.lit(" the cat and the dog have to be there"))).otherwise(t)
+    t = F.when(did % 5 == 0, F.concat(t, F.lit(" ### ### ... extra"))).otherwise(t)
+    t = F.when(did % 11 == 0, F.concat(t, F.lit("\n- bullet point line" * 9))).otherwise(t)
+    t = F.when(did % 13 == 0, F.concat(t, F.lit("\nthis trails off...\nand this one too..."))).otherwise(t)
+    t = F.when(did % 17 == 0, F.concat(t, F.lit(" " + "z" * 4000))).otherwise(t)
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), t.alias("text"))

@@ -183,3 +183,94 @@ def test_rotated_out_tail_contract(spark):
             fails.append(f"{name}: values differ ({len(sv)} vs {len(dv)} rows)")
     con.close()
     assert not fails, fails
+
+
+def test_bmp_ppm_roundtrip():
+    """encode→decode is the identity on pixels for both real codecs,
+    including BMP's padded-row case (w=3 → stride 12 ≠ 9)."""
+    import numpy as np
+    from snorkel_spark.operators.multimodal import (
+        decode_media, encode_bmp, encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(2, 2), (3, 3), (5, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt, back = decode_media(encode_bmp(img))
+        assert fmt == "bmp" and back.shape == (h, w, 3)
+        assert (back == img).all()
+        fmt, back = decode_media(encode_ppm(img))
+        assert fmt == "ppm" and back.shape == (h, w, 3)
+        assert (back == img).all()
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\n....")  # compressed: honest raise
+
+
+def test_decode_images_spark(spark):
+    """The Arrow-batched decode path on a mixed corpus: real BMP + PPM
+    payloads decode to exact dims/means; a poison payload is skipped
+    under the default policy and raises under on_error='raise'."""
+    import numpy as np
+    from snorkel_spark.operators.multimodal import (
+        decode_images, encode_bmp, encode_ppm,
+    )
+
+    solid = np.full((4, 6, 3), (10, 200, 30), dtype=np.uint8)
+    grad = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    rows = [
+        ("d1", "media://a.bmp", "image", bytearray(encode_bmp(solid)), 0),
+        ("d2", "media://b.ppm", "image", bytearray(encode_ppm(grad)), 0),
+        ("d3", "media://c.png", "image", bytearray(b"\x89PNG poison"), 0),
+    ]
+    m = spark.createDataFrame(rows, "doc_id string, media_ref string, kind string, payload binary, n_bytes int")
+    got = {r["media_ref"]: r for r in decode_images(m).collect()}
+    assert set(got) == {"media://a.bmp", "media://b.ppm"}
+    a = got["media://a.bmp"]
+    assert (a["format"], a["width"], a["height"]) == ("bmp", 6, 4)
+    assert (a["mean_r"], a["mean_g"], a["mean_b"]) == (10000, 200000, 30000)
+    b = got["media://b.ppm"]
+    assert (b["format"], b["width"], b["height"]) == ("ppm", 3, 2)
+    assert b["mean_r"] == int(grad[:, :, 0].mean() * 1000)
+    with pytest.raises(Exception):
+        decode_images(m, on_error="raise").collect()
+
+
+def test_gopher_rules_per_rule(spark):
+    """Each MassiveText rule (Rae et al. 2021 §A1.1) trips on exactly
+    the doc constructed to violate it and only that rule; a clean doc
+    passes all seven.  min_words lowered so the tiny fixtures are
+    in-range for every rule except the one under test."""
+    from snorkel_spark.operators.textstats import gopher_rules
+
+    good = ("the cat and the dog have to be there with food . " * 3).strip()
+    docs = [
+        ("ok", good),
+        ("short", "the cat and dogs"),                       # word-count
+        ("longword", good + " " + "z" * 4000),               # mean-word-len
+        ("symbols", good + " ### ### ### # #"),              # symbol-ratio
+        ("bullets", "the cat and" + "\n- b" * 30),           # bullet-lines
+        ("ellipsis", "the cat and" + "\nfades..." * 30),     # ellipsis-lines
+        ("nonalpha", good + (" 123" * 40)),                  # alpha-words
+        ("nostop", "cats dogs eat food . " * 6),             # stopwords
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(
+            spark.createDataFrame(docs, "doc_id string, text string"),
+            min_words=10,
+        ).collect()
+    }
+    rules = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+             "r_stopwords"]
+    assert all(out["ok"][r] == 1 for r in rules) and out["ok"]["keep"] == 1
+    failing = {
+        "short": "r_word_count", "longword": "r_mean_word_len",
+        "symbols": "r_symbol_ratio", "bullets": "r_bullet_lines",
+        "ellipsis": "r_ellipsis_lines", "nonalpha": "r_alpha_words",
+        "nostop": "r_stopwords",
+    }
+    for doc_id, bad_rule in failing.items():
+        row = out[doc_id]
+        assert row[bad_rule] == 0, f"{doc_id} should fail {bad_rule}: {row}"
+        assert row["keep"] == 0

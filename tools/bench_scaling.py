@@ -37,8 +37,29 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def probe_host(burn_sec: float = 8.0) -> dict:
+    """Host-steal probe at the campaign's own concurrency pair: pure-CPU
+    md5 burn in 2 then 8 share-nothing processes (tools/bench_cpuburn.py
+    kernel — no JVM, cache-resident working set).  The 2→8 aggregate
+    ratio / 4 is the ceiling ANY workload can scale at on this box right
+    now; an engine campaign is only attributable when that ceiling is
+    near 1."""
+    from bench_cpuburn import agg_rate
+
+    a2, _ = agg_rate(2, burn_sec)
+    a8, _ = agg_rate(8, burn_sec)
+    return {
+        "ts": round(time.time(), 1),
+        "agg_md5_per_sec_p2": round(a2),
+        "agg_md5_per_sec_p8": round(a8),
+        "eff_2_to_8": round(a8 / (4 * a2), 3),
+    }
 
 
 def run_bench(cpus: int, sf_dir: str, repl: int, snapshot: str = "none") -> dict:
@@ -93,6 +114,28 @@ def main():
     r1, r2 = sizes
 
     snapshot = os.environ.get("SPARK_GRAFT_SNAPSHOT", "none")
+
+    # ---- codified host gate (round-4 verdict item 1) ----------------
+    # A campaign is only ACCEPTED (BASELINE.md rewritten) when the
+    # share-nothing cpuburn ceiling is >= gate both immediately before
+    # AND immediately after the engine measurements; otherwise the raw
+    # walls are still emitted but flagged rejected.  Gate configurable;
+    # SPARK_GRAFT_HOST_GATE=0 disables (probe still runs + published).
+    gate = float(os.environ.get("SPARK_GRAFT_HOST_GATE", "0.95"))
+    wait_sec = int(os.environ.get("SPARK_GRAFT_HOST_WAIT_SEC", "0"))
+    poll_sec = int(os.environ.get("SPARK_GRAFT_HOST_POLL_SEC", "180"))
+    probes: dict = {}
+    deadline = time.time() + wait_sec
+    while True:
+        probes["before"] = probe_host()
+        print(f"host probe (before): {probes['before']}", flush=True)
+        if gate <= 0 or probes["before"]["eff_2_to_8"] >= gate:
+            break
+        if time.time() + poll_sec > deadline:
+            print(json.dumps({"host_gate": "rejected_before_campaign",
+                              "gate": gate, "probe": probes["before"]}))
+            sys.exit(3)
+        time.sleep(poll_sec)
 
     # One warm JVM per level; sizes interleave WITHIN the session (so a
     # replicate's two sizes sit adjacent in time — the paired estimator
@@ -154,6 +197,13 @@ def main():
             results[nb][f"marginal_sps_{est_name}"]
             / results[na][f"marginal_sps_{est_name}"]
         ) / (nb / na)
+
+    probes["after"] = probe_host()
+    print(f"host probe (after): {probes['after']}", flush=True)
+    gate_ok = gate <= 0 or (
+        probes["before"]["eff_2_to_8"] >= gate
+        and probes["after"]["eff_2_to_8"] >= gate
+    )
 
     pairs = list(zip(levels, levels[1:]))
     R = results
@@ -308,7 +358,7 @@ def main():
             "threads, pure memcpy included.  A cluster adds a memory bus",
             "per NODE as it adds executors; this sandbox cannot.  That is",
             "why the cluster-relevant pair is the one below the bandwidth",
-            "wall (local[2]→local[8], ≥0.88 on every estimator above).",
+            "wall (local[2]→local[8]; efficiency table above).",
         ]
     # parser-variant spot (bench.py with SPARK_GRAFT_PARSER=full)
     pv_path = os.path.join(REPO, "BENCH", "parser_variant.json")
@@ -350,16 +400,45 @@ def main():
             "n_hashes family values as vectorized multiplies",
             "(`minimum.reduceat` over the flattened Arrow batch).",
         ]
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print(json.dumps({
+    # host-gate section goes in the published doc right under Protocol
+    gate_lines = [
+        "",
+        "## Host gate (codified — tools/bench_scaling.py)",
+        "",
+        f"Share-nothing cpuburn ceiling, gate ≥ {gate}: measured",
+        f"immediately before ({probes['before']['eff_2_to_8']}) and",
+        f"immediately after ({probes['after']['eff_2_to_8']}) the engine",
+        "walls.  A campaign only rewrites this file when BOTH probes",
+        "clear the gate, so every number below was taken on a host able",
+        "to deliver near-linear 2→8 scaling to any workload at all.",
+    ]
+    idx = lines.index("## Raw walls (seconds)")
+    lines[idx:idx] = gate_lines[1:] + [""]
+
+    summary = {
         "snapshot_mode": snapshot,
+        "host_gate": {"gate": gate, "accepted": gate_ok, "probes": probes},
+        "runs": runs,
+        "sizes": sizes,
+        "walls": {str(c): {"r1": R[c]["walls_r1"], "r2": R[c]["walls_r2"]}
+                  for c in levels},
         "pairs": {f"{na}->{nb}": {"eff_median": eff(na, nb, "median"),
                                    "eff_min": eff(na, nb, "min"),
                                    "eff_paired": eff(na, nb, "paired")}
                   for na, nb in pairs},
-    }))
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    tag = os.environ.get("SPARK_GRAFT_CAMPAIGN", "")
+    if tag:
+        with open(os.path.join(REPO, "BENCH", f"campaign{tag}_summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    if gate_ok:
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        print("host gate FAILED after campaign — BASELINE.md NOT rewritten; "
+              "raw walls + probes in the summary JSON", flush=True)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

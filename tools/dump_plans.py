@@ -165,6 +165,14 @@ NOTES = {
         "single-partition rank exchange.  The trailing window that "
         "re-derives the rank column runs over exactly k rows."
     ),
+    "gopher_rules": (
+        "Gopher/MassiveText quality-rule bundle (Rae et al. 2021 §A1.1): "
+        "seven per-doc verdicts + the conjunction, ALL integer-arithmetic "
+        "predicates over split/filter/aggregate higher-order functions in "
+        "one projection chain over the scan — no shuffle, no Python, no "
+        "float ratio.  The 100 TB shape: embarrassingly parallel, same "
+        "as c4_clean; a quality-filter pass costs exactly one corpus read."
+    ),
     "span_dedup": (
         "Cross-document exact-substring dedup (C4's corpus-wide rule / "
         "Lee et al. 2022): strided window fingerprints are a pure "
@@ -342,6 +350,9 @@ def main():
         "span_dedup": __import__(
             "snorkel_spark.operators.dedup", fromlist=["span_dedup_flags"]
         ).span_dedup_flags(docs, span_tokens=12, stride=6),
+        "gopher_rules": __import__(
+            "snorkel_spark.operators.textstats", fromlist=["gopher_rules"]
+        ).gopher_rules(FX.docs_with_planted_quality(docs)),
         "ivf_pruned_scan": _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign),
     }
     out = ["# Physical plans of the hot-path stages\n",

@@ -947,6 +947,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs_with_planted_lines(spark.read.parquet(f"{sf}/documents.parquet"))
         )
 
+    def ts_mixture_sample(spark, sf):
+        # deterministic per-source mixture weights: src{i} keeps at
+        # 1e6 - i*5e4 ppm (src0 = rate 1.0 exercises the keep-all arm),
+        # src18/src19 omitted from the dict so the default-0 drop arm
+        # is exercised too
+        from snorkel_spark.operators.textstats import mixture_sample
+
+        weights = {f"src{i}": 1_000_000 - i * 50_000 for i in range(18)}
+        return mixture_sample(
+            spark.read.parquet(f"{sf}/documents.parquet"), weights
+        )
+
+    def ts_surprisal(spark, sf):
+        # CCNet-style unigram LM quality score, integer-quantized bits
+        from snorkel_spark.operators.textstats import unigram_surprisal
+
+        return unigram_surprisal(spark.read.parquet(f"{sf}/documents.parquet"))
+
     def ts_gopher_rules(spark, sf):
         # Gopher/MassiveText quality rules (Rae et al. 2021 §A1.1) over
         # deterministically planted quality defects (the raw corpus is
@@ -976,7 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that, so each round the queries with the FEWEST / OLDEST
     # driver-file green rows go first.  Round 5 window: (a) the 25
     # queries rotated out in round 4 (completing the cycle — the union
-    # of r04+r05 driver files covers all 78 contract queries), (b) the
+    # of r04+r05 driver files covers all 80 contract queries), (b) the
     # round-5-new queries, (c) every query whose underlying operator
     # changed this round (regressions must show in the driver file,
     # not only in pytest), (d) flagship core fill.  The rotated-out
@@ -1015,6 +1033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_span_dedup": dd_span_dedup,
         "mm_decode_images": mm_decode_images,
         "ts_gopher_rules": ts_gopher_rules,
+        "ts_mixture_sample": ts_mixture_sample,
+        "ts_surprisal": ts_surprisal,
         # --- (c) operators changed in round 5 (top_terms rewrite,
         # pack_sequences auto-shard, as-of floor bucketing, CC
         # confirmation round) ---------------------------------------
@@ -1032,19 +1052,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_label_matrix": a1_label_matrix,
         "g5_majority_vote": g5_majority_vote,
         "g4_dependencies": g4_dependencies,
-        "g4b_conditional_dependencies": g4b_conditional_dependencies,
         "g4c_pseudolikelihood_deps": g4c_pseudolikelihood_deps,
         "g1c_marginals_with_deps": g1c_marginals_with_deps,
         "g3_learned_lf_stats": g3_learned_lf_stats,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
-        "n3_salted_entity_counts": n3_salted_entity_counts,
         "g1_label_model_marginals": g1_label_model_marginals,
         "g1_triples_labelmodel": g1_triples_labelmodel,
         # ------- 50-query window boundary (driver checks to here) ---
         # rotated out this round — every entry below is driver-green
         # in CORRECTNESS_r04.json and stays green under
         # check_contract.py + the pytest smoke gate
+        "g4b_conditional_dependencies": g4b_conditional_dependencies,
+        "n3_salted_entity_counts": n3_salted_entity_counts,
         "dd_kmv_merge": dd_kmv_merge,
         "ts_c4_clean": ts_c4_clean,
         "ts_token_stats": ts_token_stats,
@@ -2146,6 +2166,40 @@ def oracle_sql() -> dict[str, str]:
              CAST(g * 1000 AS INT) AS mean_g,
              CAST(b * 1000 AS INT) AS mean_b
       FROM v"""
+    # deterministic weighted mixture sampling (twin of
+    # textstats.mixture_sample; the md5-ppm coin and the per-source
+    # weight CASE reproduce the Spark literal map exactly)
+    d["ts_mixture_sample"] = """
+      WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+          CAST(list_sum(list_transform(range(0, 12), hd ->
+            (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), hd + 1, 1)) - 1)
+            * (16::BIGINT ** (11 - hd))::BIGINT)) % 1000000 AS INT) AS u_ppm
+        FROM documents),
+      w AS (SELECT doc_id, source AS bucket, u_ppm,
+          CASE WHEN source IN ('src18', 'src19') THEN 0
+               ELSE 1000000 - CAST(substr(source, 4) AS INT) * 50000
+          END AS w_ppm
+        FROM u)
+      SELECT doc_id, bucket, u_ppm, w_ppm FROM w WHERE u_ppm < w_ppm"""
+    # integer-quantized unigram surprisal (twin of
+    # textstats.unigram_surprisal; bits = length(bin(N div c)) - 1 is
+    # pure integer/string arithmetic, bit-exact on both engines)
+    d["ts_surprisal"] = """
+      WITH toks AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS token
+            FROM documents),
+      cnt AS (SELECT token, COUNT(*)::BIGINT AS c FROM toks GROUP BY token),
+      tot AS (SELECT SUM(c)::BIGINT AS n FROM cnt),
+      voc AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 65536),
+      j AS (SELECT t.doc_id,
+              length(bin((SELECT n FROM tot) // COALESCE(v.c, 1))) - 1 AS bits
+            FROM toks t LEFT JOIN voc v USING (token)),
+      a AS (SELECT doc_id, COUNT(*)::BIGINT AS nt, SUM(bits)::BIGINT AS sb
+            FROM j GROUP BY doc_id)
+      SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+             CAST((2 * sb * 1000000 + nt) // (2 * nt) AS DOUBLE) / 1000000 AS mean_bits
+      FROM a"""
     # Gopher/MassiveText quality rules over the planted-defect fixture
     # (twin of fixtures.docs_with_planted_quality +
     # textstats.gopher_rules; every threshold is integer arithmetic so

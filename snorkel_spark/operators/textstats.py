@@ -499,3 +499,95 @@ def pack_sequences(
             (F.col("_start") % max_tokens).cast("int").alias("offset_in_seq"),
         )
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    bucket_col: str = "source",
+    default_ppm: int = 0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: per ``bucket_col`` value
+    (data source / domain / quality tier), keep each doc independently
+    with probability ``weights_ppm[bucket] / 10⁶`` — the re-weighting
+    step every pretraining data recipe ends with (e.g. the Pile's and
+    LLaMA's per-source epoch weights, sampled here without replacement
+    at rate ≤ 1).
+
+    The coin is content-stable, not random: ``u = int(md5(doc_id‖salt)
+    [:12 hex]) mod 10⁶`` — so re-runs, resumed jobs, and the SQL oracle
+    all keep exactly the same rows (the ``assign_splits`` trick), and a
+    different ``salt`` draws an independent sample.  Bucket weights
+    ride a tiny literal map (``coalesce(map[bucket], default)``) — no
+    join, no shuffle; one projection + filter over the scan, filter
+    pushdown-eligible.  At 100 TB the same expression doubles as a
+    write-time partition predicate.  (⚠ no reference counterpart —
+    standard pretraining-mixture construction.)"""
+    pairs: list = []
+    for k, v in sorted(weights_ppm.items()):
+        pairs += [F.lit(k), F.lit(int(v))]
+    wmap = F.create_map(*pairs) if pairs else F.create_map()
+    u = F.expr(
+        f"cast(conv(substring(md5(concat(cast(doc_id as string), ':{salt}')),"
+        f" 1, 12), 16, 10) as bigint) % 1000000"
+    )
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col(bucket_col).alias("bucket"),
+            u.cast("int").alias("u_ppm"),
+            F.coalesce(
+                wmap[F.col(bucket_col)], F.lit(int(default_ppm))
+            ).alias("w_ppm"),
+        )
+        .filter(F.col("u_ppm") < F.col("w_ppm"))
+        .select("doc_id", "bucket", "u_ppm", "w_ppm")
+    )
+
+
+def unigram_surprisal(
+    docs: DataFrame, vocab_k: int = 65536
+) -> DataFrame:
+    """CCNet-style LM quality scoring made engine-exact: per doc, the
+    mean unigram surprisal of its tokens in integer-quantized bits —
+    ``bits(tok) = ⌊log₂⌊N / count(tok)⌋⌋`` where N is the corpus token
+    count, computed as ``length(bin(N div c)) − 1`` (pure integer/string
+    ops, so Spark and any SQL engine agree bit-for-bit; no float ``ln``
+    whose last ulp differs across libms).  Low mean-bits ≈ common-word
+    text (likely fluent), high ≈ rare-token salad — the same decision
+    axis as CCNet's KenLM perplexity filter, quantized.
+
+    Scale shape: token counts are one map-side-combined groupBy; the
+    vocabulary is cut to the top ``vocab_k`` by (count, token) — a
+    TakeOrderedAndProject, never a global sort — and joined back
+    BROADCAST (vocab_k rows, never the corpus); OOV tokens score as
+    count = 1 (max surprisal).  Per-doc mean is the second bounded
+    shuffle, 6-dp rounded in exact integer arithmetic (``quality_scores``
+    rationale).  (⚠ no reference counterpart — CCNet, Wenzek et al.
+    2020, is the public spec.)"""
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = counts.select(F.sum("c")).first()[0] or 0
+    vocab = counts.orderBy(F.desc("c"), F.asc("token")).limit(vocab_k)
+    bits = f"length(bin({n_total} div coalesce(c, 1L))) - 1"
+    r6 = (
+        "cast((2 * _sb * 1000000 + _nt) div (2 * _nt) as double) / 1000000"
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select("doc_id", F.expr(bits).cast("long").alias("_bits"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.sum("_bits").alias("_sb"),
+        )
+        .select(
+            "doc_id",
+            F.col("_nt").cast("int").alias("n_tokens"),
+            F.expr(r6).alias("mean_bits"),
+        )
+    )

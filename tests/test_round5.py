@@ -274,3 +274,55 @@ def test_gopher_rules_per_rule(spark):
         row = out[doc_id]
         assert row[bad_rule] == 0, f"{doc_id} should fail {bad_rule}: {row}"
         assert row["keep"] == 0
+
+
+def test_mixture_sample_exact_and_deterministic(spark):
+    """The keep decision is exactly md5(doc_id‖salt)-derived: expected
+    u_ppm recomputed in Python; rate-1.0 keeps all, weight-0 and
+    unknown-source rows drop; a different salt draws an independent
+    (different) sample of the same table."""
+    import hashlib
+
+    from snorkel_spark.operators.textstats import mixture_sample
+
+    rows = [(str(i), "a" if i < 10 else ("b" if i < 20 else "zz"))
+            for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+
+    def u(doc_id, salt="mix"):
+        return int(hashlib.md5(f"{doc_id}:{salt}".encode()).hexdigest()[:12], 16) % 1_000_000
+
+    got = {r["doc_id"]: r for r in
+           mixture_sample(docs, {"a": 1_000_000, "b": 500_000}).collect()}
+    expect = {d for d, s in rows
+              if (s == "a") or (s == "b" and u(d) < 500_000)}
+    assert set(got) == expect            # zz (unknown) all dropped
+    for d in expect:
+        assert got[d]["u_ppm"] == u(d)
+    again = {r["doc_id"] for r in
+             mixture_sample(docs, {"a": 1_000_000, "b": 500_000}).collect()}
+    assert again == expect               # content-stable re-run
+    other = {r["doc_id"] for r in
+             mixture_sample(docs, {"b": 500_000}, salt="mix2").collect()}
+    b_mix2 = {d for d, s in rows if s == "b" and u(d, "mix2") < 500_000}
+    assert other == b_mix2 and other != (expect - {str(i) for i in range(10)})
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """bits(tok) = ⌊log₂⌊N/c⌋⌋ against hand counts, and the vocab_k cut
+    actually bites: an out-of-vocab token scores as count=1."""
+    from snorkel_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b b a"), ("d2", "b c")], "doc_id string, text string"
+    )
+    # counts: a=3, b=3, c=1, N=7; bits: a=⌊log2(7//3=2)⌋=1, b=1, c=⌊log2 7⌋=2
+    full = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert full["d1"]["n_tokens"] == 5
+    assert full["d1"]["mean_bits"] == 1.0          # (1+1+1+1+1)/5
+    assert full["d2"]["mean_bits"] == 1.5          # (1+2)/2
+    # vocab_k=1 keeps only 'a' (count desc, token asc tie-break):
+    # b becomes OOV -> treated as c=1 -> bits 2
+    cut = {r["doc_id"]: r for r in unigram_surprisal(docs, vocab_k=1).collect()}
+    assert cut["d2"]["mean_bits"] == 2.0           # (2+2)/2
+    assert cut["d1"]["mean_bits"] == 1.4           # (1,1,2,2,1)/5

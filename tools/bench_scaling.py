@@ -142,7 +142,24 @@ def main():
     # differences out slow hypervisor drift), and per-pass walls carry
     # no session startup, so replicates are cheap enough to run many.
     results: dict = {}
-    for cpus in levels:
+    for i, cpus in enumerate(levels):
+        if i > 0:
+            # ---- between-level probe (campaign-8 lesson): steal can
+            # arrive AFTER a clean before-probe; a level measured on a
+            # collapsed ceiling poisons every pair it participates in,
+            # so abort NOW instead of paying for the remaining levels
+            # and the guaranteed after-probe rejection --------------
+            probes[f"between_{levels[i-1]}_{cpus}"] = p = probe_host()
+            print(f"host probe (between levels): {p}", flush=True)
+            if gate > 0 and p["eff_2_to_8"] < gate:
+                print(json.dumps({
+                    "host_gate": "aborted_mid_campaign", "gate": gate,
+                    "probe": p,
+                    "partial_walls": {str(c): {"r1": results[c]["walls_r1"],
+                                                "r2": results[c]["walls_r2"]}
+                                      for c in results},
+                }))
+                sys.exit(3)
         rows = run_worker(cpus, [r1, r2], runs, sf_dir, snapshot)
         a_runs = [r for r in rows if r["size"] == r1]
         b_runs = [r for r in rows if r["size"] == r2]
@@ -158,6 +175,17 @@ def main():
         }
         print(f"local[{cpus}] walls@{r1}={results[cpus]['walls_r1']} "
               f"walls@{r2}={results[cpus]['walls_r2']}", flush=True)
+        # within-level steal detector: replicates of the SAME work on a
+        # quiet host sit within ~±20%; a >2x max/min spread means steal
+        # arrived mid-level (campaign 8: 67->176s inside one level)
+        disp = max(
+            max(results[cpus]["walls_r1"]) / min(results[cpus]["walls_r1"]),
+            max(results[cpus]["walls_r2"]) / min(results[cpus]["walls_r2"]),
+        )
+        results[cpus]["wall_dispersion"] = round(disp, 3)
+        if disp > 2.0:
+            print(f"WARNING local[{cpus}] wall dispersion {disp:.2f}x — "
+                  f"steal-suspect level", flush=True)
 
     # parquet-mode spot pair (1 replicate per level/size) so the
     # catalog-shaped walls stay published next to the compute scaling
@@ -420,7 +448,8 @@ def main():
         "host_gate": {"gate": gate, "accepted": gate_ok, "probes": probes},
         "runs": runs,
         "sizes": sizes,
-        "walls": {str(c): {"r1": R[c]["walls_r1"], "r2": R[c]["walls_r2"]}
+        "walls": {str(c): {"r1": R[c]["walls_r1"], "r2": R[c]["walls_r2"],
+                            "dispersion": R[c]["wall_dispersion"]}
                   for c in levels},
         "pairs": {f"{na}->{nb}": {"eff_median": eff(na, nb, "median"),
                                    "eff_min": eff(na, nb, "min"),

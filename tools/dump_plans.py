@@ -173,6 +173,21 @@ NOTES = {
         "float ratio.  The 100 TB shape: embarrassingly parallel, same "
         "as c4_clean; a quality-filter pass costs exactly one corpus read."
     ),
+    "mixture_sample": (
+        "Deterministic pretraining-mixture sampling: the md5-ppm coin "
+        "and the per-source weight lookup are literals inside ONE "
+        "projection + filter over the scan — no join, no shuffle, no "
+        "Python; the filter is eligible for pushdown at the source.  "
+        "At 100 TB re-weighting the corpus costs exactly one read."
+    ),
+    "unigram_surprisal": (
+        "CCNet-style LM quality score: token counts are one map-side-"
+        "combined hash-groupBy; the vocab cut is a TakeOrderedAndProject "
+        "(never a global sort); the score-back join must be a "
+        "**BroadcastHashJoin** (vocab_k rows build side); the per-doc "
+        "mean is the second bounded uniform-key shuffle.  Same shape as "
+        "decontaminate — nothing scales with corpus² anywhere."
+    ),
     "span_dedup": (
         "Cross-document exact-substring dedup (C4's corpus-wide rule / "
         "Lee et al. 2022): strided window fingerprints are a pure "
@@ -353,6 +368,12 @@ def main():
         "gopher_rules": __import__(
             "snorkel_spark.operators.textstats", fromlist=["gopher_rules"]
         ).gopher_rules(FX.docs_with_planted_quality(docs)),
+        "mixture_sample": __import__(
+            "snorkel_spark.operators.textstats", fromlist=["mixture_sample"]
+        ).mixture_sample(docs, {f"src{i}": 1_000_000 - i * 50_000 for i in range(18)}),
+        "unigram_surprisal": __import__(
+            "snorkel_spark.operators.textstats", fromlist=["unigram_surprisal"]
+        ).unigram_surprisal(docs),
         "ivf_pruned_scan": _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign),
     }
     out = ["# Physical plans of the hot-path stages\n",

@@ -793,6 +793,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.5, n_hashes=32, n_bands=16,
         )
 
+    def dd_cluster_reps(spark, sf):
+        # canonical-doc selection over the SAME clustering as
+        # dd_duplicate_clusters: every doc flagged keep/prune, keep =
+        # longest member (ties → lowest doc_id string order)
+        from snorkel_spark.operators.dedup import cluster_representatives
+
+        return cluster_representatives(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            threshold=0.5, n_hashes=32, n_bands=16,
+        )
+
+    def dd_line_dedup(spark, sf):
+        # intra-document repeated-line removal (RefinedWeb page
+        # cleaning); planted repeated lines make n_dropped non-vacuous
+        from snorkel_spark.operators.dedup import dedup_lines
+        from snorkel_spark.sources.fixtures import docs_with_repeated_lines
+
+        return dedup_lines(
+            docs_with_repeated_lines(spark.read.parquet(f"{sf}/documents.parquet"))
+        )
+
     def sim_cosine_topk(spark, sf):
         from snorkel_spark.operators.similarity import cosine_topk
 
@@ -829,6 +850,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         aug = embeddings_with_planted_dups(spark.read.parquet(f"{sf}/embeddings.parquet"))
         return embedding_near_dups(aug, threshold=0.95)
+
+    def sim_semdedup(spark, sf):
+        # SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup —
+        # every row comes back flagged keep/prune; planted near-dups
+        # make is_dup non-vacuous (raw corpus max cos ≈ 0.51)
+        from snorkel_spark.operators.similarity import semdedup
+        from snorkel_spark.sources.fixtures import embeddings_with_planted_dups
+
+        aug = embeddings_with_planted_dups(spark.read.parquet(f"{sf}/embeddings.parquet"))
+        return semdedup(aug, n_centroids=16, threshold=0.95)
 
     def mm_media_features(spark, sf):
         from snorkel_spark.operators.multimodal import extract_features, fetch_payloads, media_spans
@@ -1035,6 +1066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gopher_rules": ts_gopher_rules,
         "ts_mixture_sample": ts_mixture_sample,
         "ts_surprisal": ts_surprisal,
+        "sim_semdedup": sim_semdedup,
+        "dd_line_dedup": dd_line_dedup,
+        "dd_cluster_reps": dd_cluster_reps,
         # --- (c) operators changed in round 5 (top_terms rewrite,
         # pack_sequences auto-shard, as-of floor bucketing, CC
         # confirmation round) ---------------------------------------
@@ -1047,22 +1081,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_sentences": p1_sentences,
         "p2c_pos_tags": p2c_pos_tags,
         "m5_ner_matcher": m5_ner_matcher,
-        "m5b_ner_matcher_join": m5b_ner_matcher_join,
         "c3_candidates": c3_candidates,
         "a1_label_matrix": a1_label_matrix,
         "g5_majority_vote": g5_majority_vote,
-        "g4_dependencies": g4_dependencies,
         "g4c_pseudolikelihood_deps": g4c_pseudolikelihood_deps,
         "g1c_marginals_with_deps": g1c_marginals_with_deps,
         "g3_learned_lf_stats": g3_learned_lf_stats,
         "n1_entity_link": n1_entity_link,
         "n2_triples_mv": n2_triples_mv,
         "g1_label_model_marginals": g1_label_model_marginals,
-        "g1_triples_labelmodel": g1_triples_labelmodel,
         # ------- 50-query window boundary (driver checks to here) ---
         # rotated out this round — every entry below is driver-green
         # in CORRECTNESS_r04.json and stays green under
         # check_contract.py + the pytest smoke gate
+        # (g1_triples_labelmodel, m5b_ner_matcher_join and
+        # g4_dependencies displaced by the round-5-new sim_semdedup /
+        # dd_line_dedup / dd_cluster_reps: all three are r04-green and
+        # their operator families stay in-window via
+        # g1_label_model_marginals + n2_triples_mv, m5_ner_matcher, and
+        # g4c_pseudolikelihood_deps respectively)
+        "g1_triples_labelmodel": g1_triples_labelmodel,
+        "m5b_ner_matcher_join": m5b_ner_matcher_join,
+        "g4_dependencies": g4_dependencies,
         "g4b_conditional_dependencies": g4b_conditional_dependencies,
         "n3_salted_entity_counts": n3_salted_entity_counts,
         "dd_kmv_merge": dd_kmv_merge,
@@ -1403,6 +1443,46 @@ def _lsh_pairs_sql(threshold: float, n_planes: int, n_tables: int) -> str:
     """
 
 
+def _semdedup_sql(n_centroids: int, threshold: float) -> str:
+    """Twin of similarity.semdedup: stride-sample centroids over the
+    planted-dup-augmented corpus, argmax-cosine assignment (ccos
+    rounded to 6 dp BEFORE the ordering compare), then within-cluster
+    greedy sweep — a member is a duplicate iff some member earlier in
+    (ccos ASC, vec_id ASC) order is ≥-threshold cosine-similar."""
+    cos_ec = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1),"
+        " zi -> e.embedding[zi]::DOUBLE * c.cemb[zi]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(e.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(c.cemb, zy -> zy::DOUBLE * zy::DOUBLE))))"
+    )
+    cos_ab = (
+        "ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),"
+        " zi -> ea.embedding[zi]::DOUBLE * eb.embedding[zi]::DOUBLE))"
+        " / (sqrt(list_sum(list_transform(ea.embedding, zx -> zx::DOUBLE * zx::DOUBLE)))"
+        " * sqrt(list_sum(list_transform(eb.embedding, zy -> zy::DOUBLE * zy::DOUBLE)))), 6)"
+    )
+    return f"""
+      WITH {_EMB_AUG_CTE},
+      nn AS (SELECT GREATEST(COUNT(*) // {n_centroids}, 1) AS s FROM emb),
+      cents AS (SELECT vec_id AS centroid_id, embedding AS cemb
+                FROM emb, nn WHERE vec_id % s = 0 AND vec_id < {n_centroids} * s),
+      scored AS (SELECT e.vec_id, c.centroid_id, {cos_ec} AS cos
+                 FROM emb e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, centroid_id, ROUND(cos, 6) AS ccos FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_id ASC) AS rn FROM scored) WHERE rn = 1),
+      dups AS (SELECT DISTINCT a.vec_id
+               FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+                AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+               JOIN emb ea ON ea.vec_id = a.vec_id
+               JOIN emb eb ON eb.vec_id = b.vec_id
+               WHERE {cos_ab} >= {threshold})
+      SELECT a.vec_id, a.centroid_id, a.ccos,
+             (d.vec_id IS NOT NULL) AS is_dup
+      FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+    """
+
+
 def _duplicate_clusters_sql(
     n_hashes: int, n_bands: int, threshold: float, shingle_n: int, max_bucket: int
 ) -> str:
@@ -1434,6 +1514,29 @@ def _duplicate_clusters_sql(
         SELECT e.v AS node, r.lab AS lab FROM reach r JOIN edges e ON e.u = r.node)
       SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node"""
     )
+
+
+def _cluster_reps_sql(
+    n_hashes: int, n_bands: int, threshold: float, shingle_n: int, max_bucket: int
+) -> str:
+    """Twin of dedup.cluster_representatives: the duplicate-clusters
+    statement as a derived table, every doc left-joined in (singletons
+    cluster to themselves), rep = first of (doc_len DESC, doc_id ASC)
+    per cluster — identical to Spark's min_by over (−len, doc_id)."""
+    inner = _duplicate_clusters_sql(n_hashes, n_bands, threshold, shingle_n, max_bucket)
+    return f"""
+      WITH base AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+               CAST(len(d.text) AS INT) AS doc_len,
+               COALESCE(c.cluster_id, CAST(d.doc_id AS VARCHAR)) AS cluster_id
+        FROM documents d LEFT JOIN ({inner}) c
+          ON c.doc_id = CAST(d.doc_id AS VARCHAR))
+      SELECT doc_id, cluster_id, doc_len,
+             (doc_id = FIRST_VALUE(doc_id) OVER (
+                PARTITION BY cluster_id
+                ORDER BY doc_len DESC, doc_id ASC)) AS is_rep
+      FROM base
+    """
 
 
 def _cos_sql(a: str, b: str) -> str:
@@ -1983,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT vec_id, table_id, bucket FROM buckets",
         "sim_lsh_pairs": _lsh_pairs_sql(0.8, 8, 2),
         "sim_embedding_near_dups": _lsh_pairs_sql(0.95, 8, 2),
+        "sim_semdedup": _semdedup_sql(16, 0.95),
         "mm_media_features": PREFIX_SPANS
         + """ SELECT doc_id, media_ref, kind,
                  CAST(len(text) AS INT) AS n_bytes,
@@ -2262,4 +2366,26 @@ def oracle_sql() -> dict[str, str]:
              CAST(shard * 1099511627776 + s // 512 AS BIGINT) AS seq_id,
              CAST(s % 512 AS INT) AS offset_in_seq
       FROM c"""
+    # intra-document line dedup (twin of fixtures.docs_with_repeated_lines
+    # + dedup.dedup_lines — keep each line's FIRST occurrence; DuckDB
+    # lambda index i is 1-based where Spark's is 0-based)
+    d["dd_line_dedup"] = """
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      pg AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+        concat_ws(chr(10),
+          COALESCE(array_to_string(t[1:6], ' '), '') || ' planted line one.',
+          'this exact line repeats inside the page.',
+          COALESCE(array_to_string(t[7:12], ' '), '') || ' planted line two.',
+          'this exact line repeats inside the page.',
+          CASE WHEN doc_id % 5 = 0
+               THEN 'this exact line repeats inside the page.'
+               ELSE COALESCE(array_to_string(t[13:18], ' '), '') || ' planted line three.' END
+        ) AS text FROM tk),
+      l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pg)
+      SELECT doc_id,
+             array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS text_deduped,
+             CAST(len(ls) AS INT) AS n_lines,
+             CAST(len(ls) - len(list_filter(ls, (x, i) -> list_position(ls, x) = i)) AS INT) AS n_dropped
+      FROM l"""
+    d["dd_cluster_reps"] = _cluster_reps_sql(32, 16, 0.5, 3, 64)
     return d

@@ -475,3 +475,74 @@ def span_dedup_flags(
         "n_spans",
         F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
     )
+
+
+def dedup_lines(docs: DataFrame, sep: str = "\n") -> DataFrame:
+    """Intra-document line dedup (the RefinedWeb / MassiveText page-
+    cleaning step: a page's repeated lines — boilerplate headers, nav
+    chrome, cookie banners — are dropped, keeping each line's FIRST
+    occurrence in page order).  Complements the corpus-level operators:
+    ``span_dedup_flags`` finds spans repeated ACROSS documents; this
+    removes repeats WITHIN one document.
+
+    Returns (doc_id, text_deduped, n_lines, n_dropped) — one row per
+    input doc, a pure per-row projection: no shuffle, no Python, scales
+    embarrassingly.  The first-occurrence test is
+    ``array_position(lines, x) = i + 1`` — O(lines² ) per page, fine at
+    any corpus size because lines-per-page is bounded (~10³), not
+    corpus-sized."""
+    d = docs.withColumn("_l", F.split(F.col("text"), sep))
+    kept = "filter(_l, (x, i) -> array_position(_l, x) = i + 1)"
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_join(F.expr(kept), "\n").alias("text_deduped"),
+        F.size("_l").alias("n_lines"),
+        (F.size("_l") - F.size(F.expr(kept))).alias("n_dropped"),
+    )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
+    max_bucket: int | None = MAX_BUCKET,
+    hash_backend: str = "md5",
+) -> DataFrame:
+    """Canonical-document selection — the step that turns a duplicate
+    CLUSTERING into a dedup'd corpus: every doc comes back flagged
+    (doc_id, cluster_id, doc_len, is_rep); downstream keeps ``is_rep``.
+    Keep rule: the cluster's LONGEST text wins (near-dup clusters keep
+    the most complete member), ties → lowest doc_id (string order).
+    Unclustered docs are their own singleton cluster and always kept.
+
+    Scale shape: one left join of the corpus against the (much smaller)
+    clustered set, a declarative ``min_by`` agg on cluster_id (partial
+    agg collapses each cluster map-side — one row per cluster crosses
+    the exchange), and a join back on the same key — no windows over
+    the corpus, no driver collect."""
+    if clusters is None:
+        clusters = duplicate_clusters(
+            docs, threshold, shingle_n, n_hashes, n_bands, max_bucket, hash_backend
+        )
+    base = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.length("text").alias("doc_len"),
+        )
+        .join(clusters, "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    reps = base.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("doc_len")).alias("_nl"), F.col("doc_id"))
+        ).alias("_rep")
+    )
+    return base.join(reps, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "doc_len",
+        (F.col("doc_id") == F.col("_rep")).alias("is_rep"),
+    )

@@ -297,3 +297,110 @@ def embedding_near_dups(
     sign patterns agree on almost every plane, so recall through the
     bucket join is high by construction."""
     return lsh_neighbor_pairs(embeddings, n_planes, n_tables, threshold)
+
+
+def auto_n_centroids(
+    corpus_size: int, target_cluster: int = 512, min_centroids: int = 4
+) -> int:
+    """Growth rule for ``semdedup``'s cluster count (same pattern as
+    ``auto_n_planes``): k ≈ n / target_cluster keeps the EXPECTED
+    cluster width — and so the per-cluster pairwise-cosine cost
+    O(width²·D) — constant as the corpus grows.  100× more vectors →
+    100× more clusters, each the same size; the within-cluster join
+    stays O(n · target_cluster) total instead of drifting quadratic."""
+    import math
+
+    if corpus_size <= 0:
+        return min_centroids
+    return max(min_centroids, math.ceil(corpus_size / max(target_cluster, 1)))
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning with the pairwise search BOUNDED by coarse
+    clusters — the trick that makes embedding dedup tractable at
+    web scale (the paper runs it on LAION-440M).  Steps:
+
+    1. cluster the corpus (here: the same deterministic stride-sample
+       centroids as ``ivf_centroids`` so the SQL oracle reproduces the
+       assignment bit-for-bit; production swaps in
+       ``ivf_kmeans_centroids`` via the ``centroids`` arg — the
+       (centroid_id, cemb) contract is shared);
+    2. within each cluster only, compare all pairs by cosine;
+    3. in every group of ≥-threshold neighbours keep ONE
+       representative — per the paper, the member with the LOWEST
+       cosine to its centroid (keeps the "edge" examples, prunes the
+       redundant core).  Deterministically: order cluster members by
+       (cos-to-centroid ASC, vec_id ASC); a member is a duplicate iff
+       some EARLIER member is ≥-threshold similar to it (the paper's
+       greedy sweep — the first member of each near-dup group in that
+       order survives).
+
+    Returns every input row as (vec_id, centroid_id, ccos, is_dup);
+    downstream keeps ``NOT is_dup``.  Scale shape: one k-row broadcast
+    cross for assignment collapsed by a declarative ``max_by`` partial
+    agg (one row per vector crosses the exchange), then ONE shuffle on
+    ``centroid_id`` for the within-cluster self-join — per-task cost is
+    cluster_width², held constant by growing ``n_centroids`` with the
+    corpus (``auto_n_centroids``); no global pairwise anywhere.  The
+    cos-to-centroid is rounded to 6 dp BEFORE the ordering comparison
+    so the survivor choice is identical across engines."""
+    cents = centroids if centroids is not None else ivf_centroids(embeddings, n_centroids)
+    scored = (
+        embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="embedding", b="cemb"))
+            / (F.expr(_NORM.format(a="embedding")) * F.expr(_NORM.format(a="cemb"))),
+        )
+    )
+    # argmax-cosine assignment (ties → lowest centroid_id) AND the
+    # winning cosine, in one declarative agg: max(cos) equals the
+    # assigned centroid's cos by construction
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos"), (-F.col("centroid_id")).alias("_nid"))
+        ).alias("centroid_id"),
+        F.round(F.max("cos"), 6).alias("ccos"),
+    )
+    member = assign.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    a = member.select(
+        F.col("vec_id").alias("a_id"), F.col("centroid_id").alias("cid"),
+        F.col("ccos").alias("a_ccos"), F.col("embedding").alias("ae"),
+    )
+    b = member.select(
+        F.col("vec_id").alias("b_id"), F.col("centroid_id").alias("cid"),
+        F.col("ccos").alias("b_ccos"), F.col("embedding").alias("be"),
+    )
+    earlier = (F.col("b_ccos") < F.col("a_ccos")) | (
+        (F.col("b_ccos") == F.col("a_ccos")) & (F.col("b_id") < F.col("a_id"))
+    )
+    dups = (
+        a.join(b, "cid")
+        .filter(earlier)
+        .withColumn(
+            "pcos",
+            F.round(
+                F.expr(_DOT.format(a="ae", b="be"))
+                / (F.expr(_NORM.format(a="ae")) * F.expr(_NORM.format(a="be"))),
+                6,
+            ),
+        )
+        .filter(F.col("pcos") >= threshold)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return (
+        assign.join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id", "ccos",
+            F.coalesce(F.col("_d"), F.lit(False)).alias("is_dup"),
+        )
+    )

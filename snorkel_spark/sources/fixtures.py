@@ -261,3 +261,33 @@ def docs_with_planted_quality(docs: DataFrame) -> DataFrame:
     t = F.when(did % 13 == 0, F.concat(t, F.lit("\nthis trails off...\nand this one too..."))).otherwise(t)
     t = F.when(did % 17 == 0, F.concat(t, F.lit(" " + "z" * 4000))).otherwise(t)
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"), t.alias("text"))
+
+
+REPEATED_LINE = "this exact line repeats inside the page."
+
+
+def docs_with_repeated_lines(docs: DataFrame) -> DataFrame:
+    """Deterministic intra-document repeated-line construction for the
+    line-dedup driver query (the raw corpus is single-line word salad —
+    a page never repeats a line).  Each doc becomes 5 lines with the
+    fixed ``REPEATED_LINE`` at positions 2 and 4 (and also 5 when
+    ``doc_id % 5 == 0``), so ``dedup_lines`` must drop exactly 1 (or 2)
+    lines per page.  Pure slice/concat — the DuckDB twin reproduces
+    every byte."""
+    toks = F.split("text", " ")
+    j = lambda a, b: F.array_join(F.slice(toks, a, b), " ")
+    dup = F.lit(REPEATED_LINE)
+    line5 = F.when(F.col("doc_id").cast("bigint") % 5 == 0, dup).otherwise(
+        F.concat(j(13, 6), F.lit(" planted line three."))
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(j(1, 6), F.lit(" planted line one.")),
+            dup,
+            F.concat(j(7, 6), F.lit(" planted line two.")),
+            dup,
+            line5,
+        ).alias("text"),
+    )

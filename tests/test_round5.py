@@ -326,3 +326,166 @@ def test_unigram_surprisal_hand_computed(spark):
     cut = {r["doc_id"]: r for r in unigram_surprisal(docs, vocab_k=1).collect()}
     assert cut["d2"]["mean_bits"] == 2.0           # (2+2)/2
     assert cut["d1"]["mean_bits"] == 1.4           # (1,1,2,2,1)/5
+
+
+# ------------------------------------------------ SemDeDup (Abbas'23)
+def _np_semdedup(vecs, n_centroids, threshold):
+    """Independent NumPy reference of the semdedup spec: stride-sample
+    centroids, argmax-cosine assignment (ccos rounded to 6 dp), then
+    the per-cluster greedy sweep in (ccos ASC, id ASC) order."""
+    import numpy as np
+
+    n = len(vecs)
+    s = max(n // n_centroids, 1)
+    cids = [i * s for i in range(n_centroids) if i * s < n]
+
+    def cos(a, b):
+        a, b = np.asarray(a, float), np.asarray(b, float)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assign, ccos = {}, {}
+    for i in range(n):
+        best = max(cids, key=lambda c: (cos(vecs[i], vecs[c]), -c))
+        assign[i] = best
+        ccos[i] = round(cos(vecs[i], vecs[best]), 6)
+    dup = {}
+    for c in set(assign.values()):
+        members = sorted((i for i in assign if assign[i] == c),
+                         key=lambda i: (ccos[i], i))
+        for pos, i in enumerate(members):
+            dup[i] = any(
+                round(cos(vecs[i], vecs[j]), 6) >= threshold
+                for j in members[:pos]
+            )
+    return assign, ccos, dup
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    import numpy as np
+
+    from snorkel_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(12, 6).round(3).astype(np.float32)
+    # plant a near-dup PAIR: row 9 ≈ row 3 (tiny perturbation), and an
+    # exact triple: rows 10, 11 == row 5
+    vecs[9] = vecs[3] + 0.001
+    vecs[10] = vecs[5]
+    vecs[11] = vecs[5]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(12)],
+        "vec_id int, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in semdedup(df, n_centroids=3, threshold=0.95).collect()}
+    assign, ccos, dup = _np_semdedup([list(map(float, v)) for v in vecs], 3, 0.95)
+    assert set(got) == set(range(12))
+    for i in range(12):
+        assert got[i]["centroid_id"] == assign[i], i
+        assert abs(got[i]["ccos"] - ccos[i]) < 1e-6, i
+        assert got[i]["is_dup"] == dup[i], i
+    # the planted groups really did dedup: exactly one survivor each
+    for group in ([3, 9], [5, 10, 11]):
+        if len({assign[i] for i in group}) == 1:  # co-clustered
+            assert sum(not dup[i] for i in group) == 1
+
+
+def test_semdedup_keeps_furthest_from_centroid(spark):
+    """Paper semantics: among near-dups the survivor is the member with
+    the LOWEST cosine to its centroid (the 'edge' example)."""
+    import numpy as np
+
+    from snorkel_spark.operators.similarity import semdedup
+
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    near = np.array([0.9, 0.1, 0.0, 0.0])   # same dup group, further out
+    far = np.array([0.0, 0.0, 1.0, 0.0])    # second centroid's singleton
+    # n=4, k=2 -> stride 2 -> centroids at vec_id 0 and 2
+    rows = [(0, list(base)), (1, list(near / np.linalg.norm(near))),
+            (2, list(far)), (3, list(-far + np.array([0.0, 0.01, 0.0, 0.0])))]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in semdedup(df, n_centroids=2, threshold=0.95).collect()}
+    # 0 and 1 share centroid 0 and are ≥0.95-similar; 1 sits further
+    # from the centroid (ccos < 1) so 1 survives, 0 is pruned
+    assert out[0]["centroid_id"] == 0 and out[1]["centroid_id"] == 0
+    assert out[1]["ccos"] < out[0]["ccos"]
+    assert out[0]["is_dup"] is True and out[1]["is_dup"] is False
+    # singletons stay kept
+    assert out[2]["is_dup"] is False and out[3]["is_dup"] is False
+
+
+def test_auto_n_centroids_growth():
+    from snorkel_spark.operators.similarity import auto_n_centroids
+
+    assert auto_n_centroids(0) == 4
+    assert auto_n_centroids(1000, target_cluster=512) == 4   # min clamp
+    assert auto_n_centroids(1_000_000, target_cluster=512) == 1954
+    # 100x corpus -> 100x clusters, constant expected width
+    assert auto_n_centroids(100_000_000, target_cluster=512) == 195313
+
+
+# --------------------------------------- intra-doc line dedup (RefinedWeb)
+def test_dedup_lines_first_occurrence(spark):
+    from snorkel_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [("1", "A\nB\nA\nC\nB"), ("2", "x\ny"), ("3", "z\nz\nz")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out["1"]["text_deduped"] == "A\nB\nC"
+    assert out["1"]["n_lines"] == 5 and out["1"]["n_dropped"] == 2
+    assert out["2"]["text_deduped"] == "x\ny" and out["2"]["n_dropped"] == 0
+    assert out["3"]["text_deduped"] == "z" and out["3"]["n_dropped"] == 2
+
+
+def test_dedup_lines_planted_fixture(spark, docs):
+    from snorkel_spark.operators.dedup import dedup_lines
+    from snorkel_spark.sources.fixtures import docs_with_repeated_lines
+
+    out = dedup_lines(docs_with_repeated_lines(docs)).collect()
+    for r in out:
+        expect = 2 if int(r["doc_id"]) % 5 == 0 else 1
+        assert r["n_lines"] == 5 and r["n_dropped"] == expect, r["doc_id"]
+
+
+# ------------------------------------------- cluster representatives
+def test_cluster_representatives_keep_longest(spark):
+    from snorkel_spark.operators.dedup import cluster_representatives
+
+    # two exact dups (same text -> same cluster, tie on length ->
+    # lowest doc_id wins), one longer near-dup joined via clusters
+    # arg, one singleton
+    docs = spark.createDataFrame(
+        [("10", "aa bb cc"), ("11", "aa bb cc"), ("12", "aa bb cc dd"),
+         ("13", "zz yy")],
+        "doc_id string, text string",
+    )
+    clusters = spark.createDataFrame(
+        [("10", "10"), ("11", "10"), ("12", "10")],
+        "doc_id string, cluster_id string",
+    )
+    out = {r["doc_id"]: r for r in
+           cluster_representatives(docs, clusters=clusters).collect()}
+    assert out["12"]["is_rep"] is True          # longest member
+    assert out["10"]["is_rep"] is False and out["11"]["is_rep"] is False
+    assert out["13"]["is_rep"] is True          # singleton keeps itself
+    assert out["13"]["cluster_id"] == "13"
+    # exactly one rep per cluster
+    reps = [r for r in out.values() if r["cluster_id"] == "10" and r["is_rep"]]
+    assert len(reps) == 1
+
+
+def test_cluster_representatives_end_to_end(spark, docs):
+    """Composed with the real clustering: every cluster has exactly one
+    representative and every doc is flagged."""
+    from snorkel_spark.operators.dedup import cluster_representatives
+
+    out = cluster_representatives(
+        docs, threshold=0.5, n_hashes=32, n_bands=16
+    ).toPandas()
+    assert len(out) == docs.count()
+    per = out.groupby("cluster_id")["is_rep"].sum()
+    assert (per == 1).all()

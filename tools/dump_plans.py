@@ -197,6 +197,30 @@ NOTES = {
         "plus two doc_id groupBys.  No all-pairs stage anywhere — cost "
         "is O(corpus tokens / stride) rows through uniform-key shuffles."
     ),
+    "line_dedup": (
+        "Intra-document line dedup (RefinedWeb page cleaning) must be a "
+        "**pure projection** — split/filter/array_join inside one "
+        "WholeStageCodegen span, no shuffle, no Python; per-row cost is "
+        "lines² with lines bounded by page size, not corpus size."
+    ),
+    "cluster_reps": (
+        "Canonical-doc selection over duplicate clusters: corpus LEFT "
+        "JOIN the (small) clustered set, then a declarative min_by "
+        "HashAggregate on cluster_id (partial agg collapses each cluster "
+        "map-side — one row per cluster crosses the exchange) and a join "
+        "back on the same key.  No windows over the corpus, no collect."
+    ),
+    "semdedup": (
+        "SemDeDup (Abbas et al. 2023) — cluster-bounded semantic dedup: "
+        "the centroid assignment is a **BroadcastNestedLoopJoin/cross on "
+        "a k-row build side** collapsed by a declarative max_by "
+        "HashAggregate (partial agg ships ONE row per vector through the "
+        "exchange, never the n·k expansion); the within-cluster pairwise "
+        "sweep is a single SortMergeJoin/ShuffledHashJoin keyed on "
+        "centroid_id — per-task cost is cluster_width², held constant by "
+        "growing n_centroids with the corpus (auto_n_centroids).  No "
+        "global pairwise stage anywhere."
+    ),
     "ivf_pruned_scan": (
         "The IVF scale claim demonstrated end-to-end: the corpus "
         "written `partitionBy(centroid_id)`, probed with an isin "
@@ -374,6 +398,15 @@ def main():
         "unigram_surprisal": __import__(
             "snorkel_spark.operators.textstats", fromlist=["unigram_surprisal"]
         ).unigram_surprisal(docs),
+        "line_dedup": __import__(
+            "snorkel_spark.operators.dedup", fromlist=["dedup_lines"]
+        ).dedup_lines(FX.docs_with_repeated_lines(docs)),
+        "cluster_reps": __import__(
+            "snorkel_spark.operators.dedup", fromlist=["cluster_representatives"]
+        ).cluster_representatives(docs, threshold=0.5, n_hashes=32, n_bands=16),
+        "semdedup": __import__(
+            "snorkel_spark.operators.similarity", fromlist=["semdedup"]
+        ).semdedup(emb, n_centroids=8, threshold=0.95),
         "ivf_pruned_scan": _ivf_pruned_scan(spark, emb, ivf_centroids, ivf_assign),
     }
     out = ["# Physical plans of the hot-path stages\n",

@@ -186,6 +186,25 @@ def main():
         if disp > 2.0:
             print(f"WARNING local[{cpus}] wall dispersion {disp:.2f}x — "
                   f"steal-suspect level", flush=True)
+            # ---- dispersion rejection (campaign-10/11 lesson): the 8 s
+            # md5 probes are momentary — episodic steal can land INSIDE
+            # a level while every probe around it reads clean (campaign
+            # 11: probes 1.07/1.035/1.013/0.976 yet two levels at
+            # 2.5x/3.5x dispersion).  A steal-suspect level cannot
+            # attribute walls to the engine (and steal on the SMALL
+            # level flatters the ratio — the worst failure mode), so a
+            # gated campaign aborts here instead of publishing.
+            # SPARK_GRAFT_MAX_DISPERSION overrides; gate 0 disables.
+            max_disp = float(os.environ.get("SPARK_GRAFT_MAX_DISPERSION", "2.0"))
+            if gate > 0 and max_disp > 0 and disp > max_disp:
+                print(json.dumps({
+                    "host_gate": "aborted_dispersion", "level": cpus,
+                    "dispersion": round(disp, 3), "max_dispersion": max_disp,
+                    "partial_walls": {str(c): {"r1": results[c]["walls_r1"],
+                                                "r2": results[c]["walls_r2"]}
+                                      for c in results},
+                }))
+                sys.exit(3)
 
     # parquet-mode spot pair (1 replicate per level/size) so the
     # catalog-shaped walls stay published next to the compute scaling

@@ -73,3 +73,56 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# ---- memory-bandwidth probe (campaign-13 lesson) ---------------------
+# The md5 burn is cache-resident and therefore BLIND to DRAM-bandwidth
+# steal from sibling tenants — the exact condition observed on
+# 2026-08-18: local[2] walls at historical-best levels while local[8]
+# walls ran ~1.8x inflated, with every md5 probe reading clean.  An
+# 8-thread Spark level needs ~4x the bandwidth of a 2-thread one, so
+# bandwidth contention mimics poor engine scaling.  This probe measures
+# aggregate memcpy rate over a cache-busting buffer in 2 and 8
+# share-nothing processes.  NOTE the gate is ABSOLUTE, not a 2->8
+# ratio: this box's aggregate memcpy is bus-flat by design (see
+# BENCH/multiproc.json — ~constant GB/s however many processes run), so
+# the healthy signature is agg_gbps_p8 ≈ the calibrated quiet-host
+# reference (SPARK_GRAFT_MEMBW_REF_GBPS); a sibling tenant eating the
+# bus shows up as p8 aggregate well below that reference.
+
+def _membw(dur: float, q) -> None:
+    import numpy as np
+
+    src = np.empty(64 * 1024 * 1024, dtype=np.uint8)  # 64 MiB >> LLC
+    dst = np.empty_like(src)
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < dur:
+        np.copyto(dst, src)
+        n += src.nbytes
+    q.put(n / (time.time() - t0))
+
+
+def agg_membw(p: int, dur: float = 6.0) -> tuple[float, list[float]]:
+    q: mp.Queue = mp.Queue()
+    ps = [mp.Process(target=_membw, args=(dur, q)) for _ in range(p)]
+    for x in ps:
+        x.start()
+    for x in ps:
+        x.join()
+    rates = sorted(q.get() for _ in ps)
+    return sum(rates), rates
+
+
+def probe_membw(dur: float = 6.0) -> dict:
+    a2, _ = agg_membw(2, dur)
+    a8, _ = agg_membw(8, dur)
+    out = {
+        "ts": round(time.time(), 1),
+        "agg_gbps_p2": round(a2 / 1e9, 2),
+        "agg_gbps_p8": round(a8 / 1e9, 2),
+    }
+    ref = float(os.environ.get("SPARK_GRAFT_MEMBW_REF_GBPS", "0"))
+    if ref > 0:
+        out["vs_ref"] = round(a8 / 1e9 / ref, 3)
+    return out

@@ -50,16 +50,35 @@ def probe_host(burn_sec: float = 8.0) -> dict:
     ratio / 4 is the ceiling ANY workload can scale at on this box right
     now; an engine campaign is only attributable when that ceiling is
     near 1."""
-    from bench_cpuburn import agg_rate
+    from bench_cpuburn import agg_rate, probe_membw
 
     a2, _ = agg_rate(2, burn_sec)
     a8, _ = agg_rate(8, burn_sec)
-    return {
+    out = {
         "ts": round(time.time(), 1),
         "agg_md5_per_sec_p2": round(a2),
         "agg_md5_per_sec_p8": round(a8),
         "eff_2_to_8": round(a8 / (4 * a2), 3),
     }
+    # DRAM-bandwidth leg (campaign-13 lesson; see bench_cpuburn.
+    # probe_membw): cache-resident md5 cannot see a sibling tenant
+    # eating the memory bus, which inflates only the high-thread
+    # level's walls.  Reported always; folded into the gate when the
+    # calibrated reference env (SPARK_GRAFT_MEMBW_REF_GBPS) is set.
+    mb = probe_membw(burn_sec / 2)
+    out["agg_gbps_p8"] = mb["agg_gbps_p8"]
+    if "vs_ref" in mb:
+        out["membw_vs_ref"] = mb["vs_ref"]
+        out["membw_ok"] = mb["vs_ref"] >= float(
+            os.environ.get("SPARK_GRAFT_MEMBW_MIN_RATIO", "0.75")
+        )
+    return out
+
+
+def probe_ok(p: dict, gate: float) -> bool:
+    """Both gate legs: CPU quietness (md5 eff) AND, when a calibrated
+    reference is configured, DRAM-bandwidth availability."""
+    return p["eff_2_to_8"] >= gate and p.get("membw_ok", True)
 
 
 def run_bench(cpus: int, sf_dir: str, repl: int, snapshot: str = "none") -> dict:
@@ -129,7 +148,7 @@ def main():
     while True:
         probes["before"] = probe_host()
         print(f"host probe (before): {probes['before']}", flush=True)
-        if gate <= 0 or probes["before"]["eff_2_to_8"] >= gate:
+        if gate <= 0 or probe_ok(probes["before"], gate):
             break
         if time.time() + poll_sec > deadline:
             print(json.dumps({"host_gate": "rejected_before_campaign",
@@ -151,7 +170,7 @@ def main():
             # and the guaranteed after-probe rejection --------------
             probes[f"between_{levels[i-1]}_{cpus}"] = p = probe_host()
             print(f"host probe (between levels): {p}", flush=True)
-            if gate > 0 and p["eff_2_to_8"] < gate:
+            if gate > 0 and not probe_ok(p, gate):
                 print(json.dumps({
                     "host_gate": "aborted_mid_campaign", "gate": gate,
                     "probe": p,
@@ -248,8 +267,8 @@ def main():
     probes["after"] = probe_host()
     print(f"host probe (after): {probes['after']}", flush=True)
     gate_ok = gate <= 0 or (
-        probes["before"]["eff_2_to_8"] >= gate
-        and probes["after"]["eff_2_to_8"] >= gate
+        probe_ok(probes["before"], gate)
+        and probe_ok(probes["after"], gate)
     )
 
     pairs = list(zip(levels, levels[1:]))

@@ -45,14 +45,28 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
 def probe_host(burn_sec: float = 6.0) -> dict:
-    from bench_cpuburn import agg_rate
+    from bench_cpuburn import agg_rate, probe_membw
 
     a2, _ = agg_rate(2, burn_sec)
     a8, _ = agg_rate(8, burn_sec)
-    return {
+    out = {
         "ts": round(time.time(), 1),
         "eff_2_to_8": round(a8 / (4 * a2), 3),
     }
+    # DRAM-bandwidth leg (campaign-13 lesson): the md5 burn is
+    # cache-resident and blind to a sibling tenant eating the memory
+    # bus — the condition that inflates ONLY the high-thread level's
+    # walls.  Reported always; gates when a calibrated quiet-host
+    # reference is supplied (SPARK_GRAFT_MEMBW_REF_GBPS + the
+    # SPARK_GRAFT_MEMBW_MIN_RATIO fraction of it, default 0.75).
+    mb = probe_membw(burn_sec / 2)
+    out["agg_gbps_p8"] = mb["agg_gbps_p8"]
+    if "vs_ref" in mb:
+        out["membw_vs_ref"] = mb["vs_ref"]
+        out["membw_ok"] = mb["vs_ref"] >= float(
+            os.environ.get("SPARK_GRAFT_MEMBW_MIN_RATIO", "0.75")
+        )
+    return out
 
 
 def run_worker_once(cpus: int, sizes: list[int], sf_dir: str, snapshot: str) -> dict:
@@ -92,6 +106,14 @@ def main() -> None:
         i += 1
         p = probe_host()
         print(f"block {i} probe: {p}", flush=True)
+        if gate > 0 and not p.get("membw_ok", True):
+            if time.time() + poll_sec > deadline:
+                print(f"block {i}: memory bus contended and wait budget "
+                      f"exhausted — stopping", flush=True)
+                break
+            blocks.append({"i": i, "probe": p, "rejected": "membw"})
+            time.sleep(poll_sec)
+            continue
         if gate > 0 and p["eff_2_to_8"] < gate:
             if time.time() + poll_sec > deadline:
                 print(f"block {i}: host noisy and wait budget exhausted — stopping",

@@ -95,6 +95,7 @@ def _membw(dur: float, q) -> None:
 
     src = np.empty(64 * 1024 * 1024, dtype=np.uint8)  # 64 MiB >> LLC
     dst = np.empty_like(src)
+    np.copyto(dst, src)  # fault both buffers in BEFORE timing
     t0 = time.time()
     n = 0
     while time.time() - t0 < dur:
@@ -115,6 +116,7 @@ def agg_membw(p: int, dur: float = 6.0) -> tuple[float, list[float]]:
 
 
 def probe_membw(dur: float = 6.0) -> dict:
+    dur = max(dur, 4.0)  # short burns are spawn/page-fault-dominated
     a2, _ = agg_membw(2, dur)
     a8, _ = agg_membw(8, dur)
     out = {

@@ -94,8 +94,9 @@ def _membw(dur: float, q) -> None:
     import numpy as np
 
     src = np.empty(64 * 1024 * 1024, dtype=np.uint8)  # 64 MiB >> LLC
-    dst = np.empty_like(src)
-    np.copyto(dst, src)  # fault both buffers in BEFORE timing
+    src.fill(1)  # materialize src pages — an un-written np.empty is
+    dst = np.empty_like(src)  # zero-page-backed and reads come from cache
+    np.copyto(dst, src)  # fault dst in BEFORE timing
     t0 = time.time()
     n = 0
     while time.time() - t0 < dur:

@@ -28,7 +28,7 @@ categorical {1..k}; abstain = 0 = absent row (SURVEY.md §1.1).
 from __future__ import annotations
 
 from collections.abc import Callable, Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -50,12 +50,17 @@ LABEL_MATRIX_SCHEMA = StructType(
 class LF:
     """A labeling function: a vectorized pandas closure
     ``pd.DataFrame → pd.Series[int]`` (0 = abstain), plus an optional
-    ANSI-SQL CASE expression used by the DuckDB oracle."""
+    ANSI-SQL CASE expression used by the DuckDB oracle and an optional
+    Spark ``Column`` twin (``expr``).  When EVERY LF of a set carries an
+    ``expr``, ``apply_lfs`` applies them entirely JVM-side (guide §4.1:
+    built-ins over UDFs) — no Arrow boundary, no Python workers — and
+    Catalyst prunes the scan to exactly the columns the exprs touch."""
 
     lf_id: int
     name: str
     fn: Callable[[pd.DataFrame], pd.Series]
     sql: str | None = None
+    expr: object | None = field(default=None, compare=False)
 
 
 def lf_registry_df(spark, lfs: list[LF]) -> DataFrame:
@@ -96,11 +101,32 @@ def apply_lfs(
     (from ``make_lf_error_counters``) to count failures per LF.  The
     output is the engine's label matrix; write it through the Catalog
     for the checkpoint/resume contract (north_rule).
+
+    Fast path (guide §4.1): when every LF carries a Catalyst ``expr``
+    twin and no error counters are requested, the whole matrix is one
+    JVM-side projection+explode — identical rows, no Python boundary,
+    and column pruning/pushdown stay intact because Catalyst can see
+    through the expressions (an opaque ``mapInPandas`` ships every
+    projected column).  LFs without an ``expr`` (arbitrary Python) keep
+    the Arrow-batched path below.
     """
+    lf_list = list(lfs)
+    if lf_list and all(lf.expr is not None for lf in lf_list) and error_counters is None:
+        pairs = [
+            F.struct(
+                F.lit(lf.lf_id).cast("int").alias("lf_id"),
+                lf.expr.cast("int").alias("label"),
+            )
+            for lf in lf_list
+        ]
+        return (
+            candidates.select("candidate_id", F.explode(F.array(*pairs)).alias("r"))
+            .select("candidate_id", F.col("r.lf_id").alias("lf_id"), F.col("r.label").alias("label"))
+            .filter("label != 0")
+        )
     if columns:
         keep = [c for c in columns if c in candidates.columns]
         candidates = candidates.select(*keep)
-    lf_list = list(lfs)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -205,19 +231,38 @@ def make_fixture_lfs(known_spouse_pairs: set[tuple[str, str]]) -> list[LF]:
 
     fam = ", ".join(f"'{w}'" for w in FAMILY_WORDS)
     spo = ", ".join(f"'{w}'" for w in SPOUSE_WORDS)
+
+    # Catalyst twins of the pandas closures (guide §4.1: whole-matrix
+    # JVM fast path in apply_lfs).  Same word-boundary regex the pandas
+    # closures run on the space-joined text_between; nulls → abstain.
+    def _btw_rgx(words: list[str]) -> F.Column:
+        rgx = "(?:^| )(?:" + "|".join(words) + ")(?: |$)"
+        return F.coalesce(F.col("text_between").rlike(rgx), F.lit(False))
+
+    did = F.col("doc_id").cast("bigint")
+    expr_married = F.when(_btw_rgx(["married"]), 1).otherwise(0)
+    expr_wife = F.when(_btw_rgx(["wife"]), 1).otherwise(0)
+    expr_family = F.when(_btw_rgx(FAMILY_WORDS), -1).otherwise(0)
+    expr_ds = F.when(
+        F.concat_ws("|", "subj_text", "obj_text").isin(sorted(ds_keys)), 1
+    ).otherwise(0)
+    expr_same = F.when(F.col("subj_text") == F.col("obj_text"), -1).otherwise(0)
+    expr_spouse = F.when(_btw_rgx(SPOUSE_WORDS), 1).otherwise(0)
+    expr_noise = F.when(did % 7 == 0, 1).when(did % 7 == 1, -1).otherwise(0)
+
     return [
-        LF(0, "lf_married_between", lf_married,
+        LF(0, "lf_married_between", lf_married, expr=expr_married,
            sql="CASE WHEN list_contains(tokens_between, 'married') THEN 1 ELSE 0 END"),
-        LF(1, "lf_wife_between", lf_wife,
+        LF(1, "lf_wife_between", lf_wife, expr=expr_wife,
            sql="CASE WHEN list_contains(tokens_between, 'wife') THEN 1 ELSE 0 END"),
-        LF(2, "lf_family_word_between", lf_family,
+        LF(2, "lf_family_word_between", lf_family, expr=expr_family,
            sql=f"CASE WHEN len(list_intersect(tokens_between, [{fam}])) > 0 THEN -1 ELSE 0 END"),
-        LF(3, "lf_distant_supervision", lf_ds,
+        LF(3, "lf_distant_supervision", lf_ds, expr=expr_ds,
            sql="CASE WHEN ds_hit THEN 1 ELSE 0 END"),  # oracle precomputes ds_hit via join
-        LF(4, "lf_same_person", lf_same,
+        LF(4, "lf_same_person", lf_same, expr=expr_same,
            sql="CASE WHEN subj_text = obj_text THEN -1 ELSE 0 END"),
-        LF(5, "lf_spouse_word_between", lf_spouse_word,
+        LF(5, "lf_spouse_word_between", lf_spouse_word, expr=expr_spouse,
            sql=f"CASE WHEN len(list_intersect(tokens_between, [{spo}])) > 0 THEN 1 ELSE 0 END"),
-        LF(6, "lf_noise", lf_noise,
+        LF(6, "lf_noise", lf_noise, expr=expr_noise,
            sql="CASE WHEN CAST(doc_id AS BIGINT) % 7 = 0 THEN 1 WHEN CAST(doc_id AS BIGINT) % 7 = 1 THEN -1 ELSE 0 END"),
     ]

@@ -147,16 +147,47 @@ class LabelModel:
         return spark.createDataFrame(rows, "lf_id int, label int, c int, log_mu double")
 
     def marginals(self, spark: SparkSession, L: DataFrame) -> DataFrame:
-        """P(Y=c | Λ) per candidate — broadcast join + hash agg +
-        row-local softmax; zero Python, one shuffle on candidate_id."""
+        """P(Y=c | Λ) per candidate — literal factor-map lookup + ONE
+        hash agg + row-local softmax; zero Python, one shuffle on
+        candidate_id.
+
+        The factor table is tiny (m·k² doubles) and fully known on the
+        driver, so instead of materializing it as a DataFrame (which
+        costs a Python-RDD scan + a BroadcastExchange) it is inlined as
+        a literal ``map<int, array<double>>`` probed per label row:
+        key = lf_id·1000 + label (collision-free for cardinality < 999).
+        Rows with no factor entry are dropped (same semantics as the
+        former inner join); the per-class sums replace the former
+        ``pivot``, which planned TWO exchanges (candidate_id+c, then
+        candidate_id) — this plans exactly one.
+        """
         k = self.cardinality
-        factors = self.factor_table(spark)
         logp = [float(np.log(max(b, EPS))) for b in self.class_balance]
+        entries: list[F.Column] = []
+        for j in range(self.m):
+            for cp in range(k):
+                label = (-1 if cp == 0 else 1) if k == 2 else cp + 1
+                entries.append(F.lit(j * 1000 + label))
+                entries.append(
+                    F.array(
+                        *[
+                            F.lit(float(np.log(max(self.mu[j * k + cp, c], EPS))))
+                            for c in range(k)
+                        ]
+                    )
+                )
+        lmu_map = F.create_map(*entries)
+        key = (F.col("lf_id").cast("long") * 1000 + F.col("label")).cast("int")
         scores = (
-            L.join(F.broadcast(factors), on=["lf_id", "label"])
+            L.select("candidate_id", F.element_at(lmu_map, key).alias("_lmu"))
+            .filter(F.col("_lmu").isNotNull())
             .groupBy("candidate_id")
-            .pivot("c", list(range(k)))
-            .agg(F.sum("log_mu"))
+            .agg(
+                *[
+                    F.sum(F.element_at("_lmu", c + 1)).alias(str(c))
+                    for c in range(k)
+                ]
+            )
         )
         # softmax over (log balance + per-class log-likelihood)
         terms = [

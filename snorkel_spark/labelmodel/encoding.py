@@ -53,48 +53,70 @@ def compute_O_selfjoin(L: DataFrame, m: int, cardinality: int = 2) -> tuple[np.n
     """C[a,b] = #candidates voting coordinate a and coordinate b."""
     d = m * cardinality
     psi = psi_index(L, cardinality)
-    n = psi.select("candidate_id").distinct().count()
     right = psi.select(F.col("candidate_id").alias("cid2"), F.col("a").alias("b"))
-    cells = (
+    pair_cells = (
         psi.join(right, on=[psi["candidate_id"] == right["cid2"]])
         .groupBy("a", "b")
         .agg(F.count("*").alias("cnt"))
-        .collect()
     )
+    # n rides the same action as a sentinel (−1,−1) row instead of a
+    # separate distinct().count() job (guide §1.2)
+    n_cell = psi.agg(F.count_distinct("candidate_id").alias("cnt")).select(
+        F.lit(-1).alias("a"), F.lit(-1).alias("b"), "cnt"
+    )
+    cells = pair_cells.unionByName(n_cell).collect()
     C = np.zeros((d, d), dtype=np.int64)
+    n = 0
     for r in cells:
-        C[r["a"], r["b"]] = r["cnt"]
+        if r["a"] < 0:
+            n = int(r["cnt"])
+        else:
+            C[r["a"], r["b"]] = r["cnt"]
     return C, n
 
 
 def compute_O_arrow(L: DataFrame, m: int, cardinality: int = 2) -> tuple[np.ndarray, int]:
-    """Two-phase partial aggregation of outer products via Arrow batches."""
+    """Two-phase partial aggregation of outer products via Arrow batches.
+
+    Single action: each partition's partial pass also counts its rows
+    and emits the count as the sentinel cell (−1,−1), so ``n`` rides
+    the same job instead of a separate ``votes.count()`` that re-runs
+    the groupBy shuffle (guide §1.2: don't compute things twice).
+    """
     d = m * cardinality
     votes = (
         psi_index(L, cardinality)
         .groupBy("candidate_id")
         .agg(F.collect_list("a").alias("coords"))
     )
-    n = votes.count()
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = np.zeros((d, d), dtype=np.int64)
-        seen = False
+        n_rows = 0
         for pdf in batches:
             for coords in pdf["coords"]:
                 idx = np.asarray(coords, dtype=np.int64)
                 acc[np.ix_(idx, idx)] += 1
-                seen = True
-        if seen:
+            n_rows += len(pdf)
+        if n_rows:
             i, j = np.nonzero(acc)
-            yield pd.DataFrame({"i": i.astype("int32"), "j": j.astype("int32"),
-                                "cnt": acc[i, j]})
+            yield pd.DataFrame(
+                {
+                    "i": np.append(i, -1).astype("int32"),
+                    "j": np.append(j, -1).astype("int32"),
+                    "cnt": np.append(acc[i, j], n_rows),
+                }
+            )
 
     parts = votes.mapInPandas(partials, "i int, j int, cnt long")
     cells = parts.groupBy("i", "j").agg(F.sum("cnt").alias("cnt")).collect()
     C = np.zeros((d, d), dtype=np.int64)
+    n = 0
     for r in cells:
-        C[r["i"], r["j"]] = r["cnt"]
+        if r["i"] < 0:
+            n = int(r["cnt"])
+        else:
+            C[r["i"], r["j"]] = r["cnt"]
     return C, n
 
 

@@ -78,6 +78,34 @@ def extract_candidates(
                 (F.col("obj_ws") <= F.col("subj_ws")) & (F.col("subj_we") <= F.col("obj_we"))
             )
         )
+    # tokens attach FIRST, in the same sentence_id-keyed join chain as
+    # the pairing join (guide §2.4: operations keyed the same way share
+    # one exchange — the s⋈o and the toks join co-partition, so this
+    # costs no extra shuffle), and the dedup runs LAST.  The former
+    # order (dedup, then toks join) re-shuffled the deduped wide rows a
+    # second time because the all-column distinct destroys the
+    # sentence_id partitioning: one full exchange of the widest rows
+    # saved at corpus scale.  Result-identical: the derived columns are
+    # deterministic functions of the join row, so distinct-after-attach
+    # collapses exactly the rows distinct-before-attach did.
+    if sentences is not None:
+        toks = sentences.select(F.col("sentence_id").alias("t_sid"), "tokens")
+        cand = (
+            cand.join(toks, on=[cand["sentence_id"] == toks["t_sid"]], how="left")
+            .drop("t_sid")
+            # H2 get_between_tokens: tokens strictly between the spans
+            .withColumn(
+                "tokens_between",
+                F.expr("slice(tokens, subj_we + 2, greatest(obj_ws - subj_we - 1, 0))"),
+            )
+            # H1 get_text_between
+            .withColumn("text_between", F.array_join("tokens_between", " "))
+            .drop("tokens")
+        )
+    else:
+        cand = cand.withColumn("tokens_between", F.expr("array()").cast("array<string>")).withColumn(
+            "text_between", F.lit("")
+        )
     cand = (
         cand.withColumn(
             # rel_type is part of the hash so candidates of two relation
@@ -101,24 +129,6 @@ def extract_candidates(
         # two extra full sorts of the wide pair rows at corpus scale
         .dropDuplicates()
     )
-    if sentences is not None:
-        toks = sentences.select(F.col("sentence_id").alias("t_sid"), "tokens")
-        cand = (
-            cand.join(toks, on=[cand["sentence_id"] == toks["t_sid"]], how="left")
-            .drop("t_sid")
-            # H2 get_between_tokens: tokens strictly between the spans
-            .withColumn(
-                "tokens_between",
-                F.expr("slice(tokens, subj_we + 2, greatest(obj_ws - subj_we - 1, 0))"),
-            )
-            # H1 get_text_between
-            .withColumn("text_between", F.array_join("tokens_between", " "))
-            .drop("tokens")
-        )
-    else:
-        cand = cand.withColumn("tokens_between", F.expr("array()").cast("array<string>")).withColumn(
-            "text_between", F.lit("")
-        )
     return cand.select(*CANDIDATE_COLS)
 
 

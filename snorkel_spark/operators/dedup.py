@@ -200,22 +200,45 @@ def _lsh_jaccard_pairs(
     sigs = minhash_signatures(docs, n_hashes, shingle_n, hash_backend)
     bands = _band_keys(sigs, n_hashes, n_bands)
     if max_bucket is not None:
-        # drop mega-buckets BEFORE the pair join: groupBy + join are both
-        # keyed on band_key, so AQE co-partitions them (no extra shuffle
-        # of the wide side) and the w² pair blowup is bounded by the cap.
-        ok = (
+        # Capped buckets: ONE groupBy on band_key builds each bucket's
+        # sorted member list, the cap filters it, and the ≤w² candidate
+        # pairs explode bucket-locally.  One exchange total, and — the
+        # real win — the expensive signature projection is evaluated
+        # ONCE: the former bucket-cap-groupBy + band self-join shape
+        # re-evaluated the minhash transform on three separate subtrees
+        # (cap side, join side a, join side b; guide §1.2 "don't compute
+        # things twice").  Pair set is identical (a < b ordering = the
+        # sort order of the member list; cross-band repeats collapse in
+        # the same distinct).  Bucket width is bounded by the cap, so
+        # the collected member list is ≤ max_bucket ids — never an
+        # unbounded collect.
+        cand = (
             bands.groupBy("band_key")
-            .agg(F.count("*").alias("_w"))
-            .filter(F.col("_w") <= max_bucket)
-            .select("band_key")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("_members"))
+            .filter(
+                (F.size("_members") <= max_bucket) & (F.size("_members") >= 2)
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(sequence(1, size(_members) - 1),"
+                        " pi -> transform(slice(_members, pi + 1, size(_members) - pi),"
+                        " pb -> named_struct('doc_a', element_at(_members, pi), 'doc_b', pb))))"
+                    )
+                ).alias("_pr")
+            )
+            .select(F.col("_pr.doc_a").alias("doc_a"), F.col("_pr.doc_b").alias("doc_b"))
+            .distinct()
         )
-        bands = bands.join(ok, "band_key")
-    other = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2"))
-    cand = (
-        bands.join(other, on=[bands["band_key"] == other["bk2"], bands["doc_id"] < other["doc_b"]])
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-    )
+    else:
+        # uncapped: keep the join shape — a collect_list over an
+        # unbounded bucket would be a single-task memory hazard
+        other = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk2"))
+        cand = (
+            bands.join(other, on=[bands["band_key"] == other["bk2"], bands["doc_id"] < other["doc_b"]])
+            .select(F.col("doc_id").alias("doc_a"), "doc_b")
+            .distinct()
+        )
     sets_df = sigs.select("doc_id", "sset")
     a = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("ta"))
     b = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("tb"))
@@ -329,21 +352,32 @@ def connected_components(
         "component", F.col("node")
     )
     labels = labels.localCheckpoint(eager=True)
+
+    def propagate(cur):
+        """One min-label round.  The node's OLD label rides the same
+        groupBy as a second aggregate (each node occurs exactly once on
+        the labels side, so ``max(_old)`` recovers it; prop rows carry
+        null), so the changed-label count needs no comparison join —
+        it is a cheap filter over the checkpointed round output.  One
+        shuffle-join + one groupBy per round, nothing else."""
+        comp_type = dict(cur.dtypes)["component"]
+        prop = edges.join(
+            cur.withColumnRenamed("node", "v"), "v"
+        ).select(
+            F.col("u").alias("node"), "component", F.lit(None).cast(comp_type).alias("_old")
+        )
+        mine = cur.select("node", "component", F.col("component").alias("_old"))
+        nxt = (
+            mine.union(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"), F.max("_old").alias("_old"))
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("component") != F.col("_old")).count()
+        return nxt.select("node", "component"), changed
+
     n_changed = 0
     for _ in range(max_iter):
-        prop = edges.join(
-            labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "component")
-        new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("component").alias("component"))
-        )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        n_changed = (
-            new_labels.join(labels.withColumnRenamed("component", "_old"), "node")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
+        labels, n_changed = propagate(labels)
         if n_changed == 0:
             break
     if n_changed > 0:
@@ -352,17 +386,7 @@ def connected_components(
         # round max_iter with no zero-change round to confirm it).  One
         # extra confirmation propagation distinguishes "just converged"
         # from "genuinely still propagating" before failing loudly.
-        prop = edges.join(
-            labels.withColumnRenamed("node", "v"), "v"
-        ).select(F.col("u").alias("node"), "component")
-        confirmed = (
-            labels.union(prop).groupBy("node").agg(F.min("component").alias("component"))
-        )
-        n_changed = (
-            confirmed.join(labels.withColumnRenamed("component", "_old"), "node")
-            .filter(F.col("component") != F.col("_old"))
-            .count()
-        )
+        labels, n_changed = propagate(labels)
     edges.unpersist()
     if n_changed > 0:
         # partial labels are WRONG labels (distinct ids for one true

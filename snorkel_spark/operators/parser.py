@@ -78,8 +78,7 @@ def parse_sentences(raw: DataFrame) -> DataFrame:
             F.col("span.text").alias("text"),
         )
         .withColumn("tokens", F.filter(F.split("text", "\\s+"), lambda t: t != F.lit("")))
-        .withColumn("n_tokens", F.size("tokens"))
-        .withColumn("lemmas", F.expr(_LEMMA_EXPR))
+        .withColumns({"n_tokens": F.size("tokens"), "lemmas": F.expr(_LEMMA_EXPR)})
         .select("doc_id", "sentence_id", "position", "text", "n_tokens", "tokens", "lemmas")
     )
 
@@ -124,9 +123,13 @@ def parse_sentences_full(raw: DataFrame) -> DataFrame:
             "tokens", F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RGX), F.lit(0))
         )
         .filter(F.size("tokens") > 0)
-        .withColumn("sentence_id", F.concat_ws(":", "doc_id", "position", "sent_idx"))
-        .withColumn("n_tokens", F.size("tokens"))
-        .withColumn("lemmas", F.expr(_LEMMA_EXPR))
+        .withColumns(
+            {
+                "sentence_id": F.concat_ws(":", "doc_id", "position", "sent_idx"),
+                "n_tokens": F.size("tokens"),
+                "lemmas": F.expr(_LEMMA_EXPR),
+            }
+        )
         .select("doc_id", "sentence_id", "position", "text", "n_tokens", "tokens", "lemmas")
     )
 

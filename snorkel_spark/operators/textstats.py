@@ -250,14 +250,27 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         return f"cast((2 * ({num}) * 1000000 + ({den})) div (2 * ({den})) as double) / 1000000"
 
     def max_cnt(n: int) -> str:
+        # max n-gram frequency = longest run of equal elements in the
+        # SORTED gram list — O(t log t) per doc.  The previous form
+        # (count each distinct gram by filtering the gram list, with the
+        # gram-building transform inlined into the per-gram closure) was
+        # O(distinct · total · n) interpreted string building per doc —
+        # guide §1.2 "per-task work": same exact counts, ~doc-length×
+        # cheaper.
         grams = (
             f"transform(sequence(0, size(_toks) - {n}),"
             f" gi -> array_join(slice(_toks, gi + 1, {n}), ' '))"
         )
-        return (
-            f"if(size(_toks) < {n}, 0L, cast(array_max(transform("
-            f"array_distinct({grams}), gs -> size(filter({grams}, gx -> gx = gs)))) as bigint))"
+        run = (
+            f"aggregate(array_sort({grams}),"
+            f" named_struct('best', 0L, 'cur', 0L, 'prev', cast(null as string)),"
+            f" (acc, g) -> named_struct("
+            f"   'best', greatest(acc.best, if(acc.prev is not null and g = acc.prev, acc.cur + 1, 1L)),"
+            f"   'cur', if(acc.prev is not null and g = acc.prev, acc.cur + 1, 1L),"
+            f"   'prev', g),"
+            f" acc -> acc.best)"
         )
+        return f"if(size(_toks) < {n}, 0L, {run})"
 
     return (
         docs.select(

@@ -91,19 +91,31 @@ def synthesize_raw_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def synthesize_from_docs(docs: DataFrame) -> DataFrame:
     """Synthesis over an arbitrary (doc_id bigint-able, text) frame —
     used by the bench's replicated corpus."""
+    # batched withColumns: each withColumn() call is a full analysis
+    # pass over the growing plan on the driver — grouping the
+    # independent columns into three dependency levels cuts the
+    # plan-build latency without touching the executed plan (Catalyst
+    # collapses adjacent Projects either way).
     return (
         docs.select(F.col("doc_id").cast("bigint").alias("_did"), "text")
-        .withColumn("_toks", F.split("text", " "))
-        .withColumn("_L", F.size("_toks"))
-        .withColumn("_n", (F.lit(2) + F.col("_did") % 4).cast("int"))
-        .withColumn("_plant", F.col("_did") % 5 < 3)
-        .withColumn("_pat", (F.col("_did") % 3).cast("int"))
-        .withColumn("_ei", (F.col("_did") % N_ENTITIES).cast("int"))
-        .withColumn(
-            "_ej",
-            F.expr(
-                f"cast(if((7*_ei+3) % {N_ENTITIES} = _ei, (_ei+1) % {N_ENTITIES}, (7*_ei+3) % {N_ENTITIES}) as int)"
-            ),
+        .withColumns(
+            {
+                "_toks": F.split("text", " "),
+                "_n": (F.lit(2) + F.col("_did") % 4).cast("int"),
+                "_plant": F.col("_did") % 5 < 3,
+                "_pat": (F.col("_did") % 3).cast("int"),
+                "_ei": (F.col("_did") % N_ENTITIES).cast("int"),
+                "_m_cnt": F.expr("if(_did % 3 = 0, cast(1 + _did % 2 as int), 0)"),
+            }
+        )
+        .withColumns(
+            {
+                "_L": F.size("_toks"),
+                "_ej": F.expr(
+                    f"cast(if((7*_ei+3) % {N_ENTITIES} = _ei, (_ei+1) % {N_ENTITIES}, (7*_ei+3) % {N_ENTITIES}) as int)"
+                ),
+                "_p": F.expr("cast(_did % _n as int)"),
+            }
         )
         .withColumn(
             "_planted",
@@ -113,8 +125,6 @@ def synthesize_from_docs(docs: DataFrame) -> DataFrame:
                 " 'bob', _ej, ' kim', _ej)"
             ),
         )
-        .withColumn("_m_cnt", F.expr("if(_did % 3 = 0, cast(1 + _did % 2 as int), 0)"))
-        .withColumn("_p", F.expr("cast(_did % _n as int)"))
         .select(
             F.col("_did").cast("string").alias("doc_id"),
             F.expr(_SPANS_EXPR).alias("spans"),

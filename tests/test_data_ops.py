@@ -494,3 +494,49 @@ def test_kmv_jaccard_identity_and_band(spark, docs):
     j = row["exact_jaccard"]
     band = 3 * ((j * (1 - j) / 256) ** 0.5) + 1 / 256
     assert abs(row["kmv_jaccard"] - j) <= band, row
+
+
+def test_lsh_capped_groupby_pairs_equal_join_pairs(spark, docs):
+    """r06 optimization contract: the capped bucket-local pair
+    explosion (groupBy + sorted-member explode) must produce exactly
+    the pair set of the uncapped self-join path when the cap is larger
+    than every bucket."""
+    from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+
+    capped = ngram_jaccard_pairs(
+        docs, threshold=0.0, n_hashes=16, n_bands=8, max_bucket=10**9
+    )
+    joined = ngram_jaccard_pairs(
+        docs, threshold=0.0, n_hashes=16, n_bands=8, max_bucket=None
+    )
+    a = {(r["doc_a"], r["doc_b"]) for r in capped.select("doc_a", "doc_b").collect()}
+    b = {(r["doc_a"], r["doc_b"]) for r in joined.select("doc_a", "doc_b").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_repetition_stats_equals_bruteforce(spark):
+    """r06 optimization contract: the sorted-run max-frequency kernel
+    must reproduce the brute-force n-gram counts."""
+    from collections import Counter
+
+    from snorkel_spark.operators.textstats import repetition_stats
+
+    texts = [
+        "a b a b a b c",          # top2 'a b'×3, top3 'a b a'×2
+        "x",                       # shorter than any gram
+        "w w w w",                # top2 'w w'×3, top3 'w w w'×2
+        "p q r p q r p q",        # mixed runs
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+
+    def brute(t, n):
+        toks = t.split(" ")
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return max(Counter(grams).values()) if grams else 0
+
+    for i, t in enumerate(texts):
+        assert got[str(i)]["top2_cnt"] == brute(t, 2), (i, t)
+        assert got[str(i)]["top3_cnt"] == brute(t, 3), (i, t)

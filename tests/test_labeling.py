@@ -87,3 +87,18 @@ def test_lf_error_counters(spark, candidates):
     out.count()  # action → accumulators populated
     assert counters[0].value > 0  # crashing LF is visible, not silent
     assert counters[1].value == 0
+
+
+def test_expr_fast_path_equals_pandas_path(spark, candidates, fixture_lfs):
+    """r06 optimization contract: when every LF carries a Catalyst
+    ``expr`` twin, apply_lfs runs entirely JVM-side — the emitted
+    long-form matrix must be row-identical to the Arrow/pandas path."""
+    import dataclasses
+
+    assert all(lf.expr is not None for lf in fixture_lfs)  # fast path active
+    pandas_lfs = [dataclasses.replace(lf, expr=None) for lf in fixture_lfs]
+    fast = apply_lfs(candidates, fixture_lfs)
+    slow = apply_lfs(candidates, pandas_lfs)
+    assert "MapInPandas" not in fast._jdf.queryExecution().executedPlan().toString()
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0

@@ -48,24 +48,72 @@ def extract_candidates(
     ``sentences`` (optional) re-attaches token arrays for the helper
     columns; pass the output of ``parse_sentences``.
     """
-    s = subj_mentions.select(
-        "doc_id", "sentence_id", "position", "n_tokens",
-        F.col("word_start").alias("subj_ws"), F.col("word_end").alias("subj_we"),
-        F.col("text").alias("subj_text"),
-    )
-    o = obj_mentions.select(
-        F.col("sentence_id").alias("o_sid"),
-        F.col("word_start").alias("obj_ws"), F.col("word_end").alias("obj_we"),
-        F.col("text").alias("obj_text"),
-    )
-    conds = [s["sentence_id"] == o["o_sid"]]
-    if symmetric_relations:
-        # emit both orderings; still drop identical spans below
-        pass
+    if obj_mentions is subj_mentions and not symmetric_relations:
+        # Self-pairing fast path (the common relation-extraction shape,
+        # guide §1.2/§2.4): the two join sides would be the SAME
+        # expensive subtree (ngram explode + matcher probe), and a
+        # self-join evaluates it twice (the broadcast/build side cannot
+        # reuse the probe side's exchange).  Instead: ONE evaluation,
+        # ONE shuffle — group mentions per sentence and explode the
+        # ordered in-sentence pairs.  Per-sentence mention counts are
+        # bounded by sentence length × n_max, so the w² pair explosion
+        # is bounded per row exactly like the join's per-key output.
+        # Pair set is identical: all (a, b) with a.ws < b.ws, same
+        # residual filters below.
+        m = subj_mentions.select(
+            "doc_id", "sentence_id", "position", "n_tokens",
+            "word_start", "word_end", "text",
+        )
+        # group on sentence_id ALONE so the output stays hash-partitioned
+        # on the tokens-attach join key (guide §2.4); doc_id/position/
+        # n_tokens are functionally determined by sentence_id, so
+        # ``first`` is deterministic in value, and the collect_list
+        # already makes this an ObjectHashAggregate (no sort added).
+        grouped = m.groupBy("sentence_id").agg(
+            F.first("doc_id").alias("doc_id"),
+            F.first("position").alias("position"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.collect_list(F.struct("word_start", "word_end", "text")).alias("_ms"),
+        )
+        pairs = F.expr(
+            "flatten(transform(_ms, pa -> "
+            "transform(filter(_ms, pb -> pa.word_start < pb.word_start), "
+            "pb -> struct(pa as a, pb as b))))"
+        )
+        cand = (
+            grouped.select(
+                "doc_id", "sentence_id", "position", "n_tokens",
+                F.explode(pairs).alias("_pr"),
+            )
+            .select(
+                "doc_id", "sentence_id", "position", "n_tokens",
+                F.col("_pr.a.word_start").alias("subj_ws"),
+                F.col("_pr.a.word_end").alias("subj_we"),
+                F.col("_pr.a.text").alias("subj_text"),
+                F.col("_pr.b.word_start").alias("obj_ws"),
+                F.col("_pr.b.word_end").alias("obj_we"),
+                F.col("_pr.b.text").alias("obj_text"),
+            )
+        )
     else:
-        # canonical ordering: subj strictly before obj in the sentence
-        conds.append(s["subj_ws"] < o["obj_ws"])
-    cand = s.join(o, on=conds).drop("o_sid")
+        s = subj_mentions.select(
+            "doc_id", "sentence_id", "position", "n_tokens",
+            F.col("word_start").alias("subj_ws"), F.col("word_end").alias("subj_we"),
+            F.col("text").alias("subj_text"),
+        )
+        o = obj_mentions.select(
+            F.col("sentence_id").alias("o_sid"),
+            F.col("word_start").alias("obj_ws"), F.col("word_end").alias("obj_we"),
+            F.col("text").alias("obj_text"),
+        )
+        conds = [s["sentence_id"] == o["o_sid"]]
+        if symmetric_relations:
+            # emit both orderings; still drop identical spans below
+            pass
+        else:
+            # canonical ordering: subj strictly before obj in the sentence
+            conds.append(s["subj_ws"] < o["obj_ws"])
+        cand = s.join(o, on=conds).drop("o_sid")
     if not self_relations:
         cand = cand.filter(~((F.col("subj_ws") == F.col("obj_ws")) & (F.col("subj_we") == F.col("obj_we"))))
     if not nested_relations:

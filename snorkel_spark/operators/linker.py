@@ -54,15 +54,14 @@ def _scored_matches(m: DataFrame, alias_dict: DataFrame, text_col: str) -> DataF
     return a2
 
 
-def link_mentions(
-    mentions: DataFrame,
-    alias_dict: DataFrame,
-    text_col: str = "text",
-    min_score: float = 0.0,
+def _best_links(
+    mentions: DataFrame, alias_dict: DataFrame, text_col: str, min_score: float
 ) -> DataFrame:
-    """mentions → mentions + (entity_id, canonical_name, link_score)."""
+    """(mention_id, entity_id, canonical_name, link_score): the winning
+    link per mention — the shared aggregation of both link entry
+    points."""
     scored = _scored_matches(mentions, alias_dict, text_col)
-    best = (
+    return (
         scored.groupBy("mention_id")
         .agg(
             F.expr("max_by(entity_id, struct(link_score, entity_id))").alias("entity_id"),
@@ -71,6 +70,16 @@ def link_mentions(
         )
         .filter(F.col("link_score") >= min_score)
     )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dict: DataFrame,
+    text_col: str = "text",
+    min_score: float = 0.0,
+) -> DataFrame:
+    """mentions → mentions + (entity_id, canonical_name, link_score)."""
+    best = _best_links(mentions, alias_dict, text_col, min_score)
     return mentions.join(best, "mention_id")
 
 
@@ -85,7 +94,11 @@ def link_text_map(
     ``F.broadcast`` of this map — no shuffle of the candidate table.
     """
     t = texts.select(F.col(text_col).alias("__t")).distinct().withColumn("mention_id", F.col("__t"))
-    linked = link_mentions(t, alias_dict, text_col="__t", min_score=min_score)
-    return linked.select(
-        F.col("__t").alias(text_col), "entity_id", "canonical_name", "link_score"
+    # mention_id IS the distinct text here, so the winning-link
+    # aggregate already carries every output column — the join-back to
+    # ``t`` that link_mentions does for real mention tables would be an
+    # identity inner join (guide §2.4: drop it).
+    best = _best_links(t, alias_dict, text_col="__t", min_score=min_score)
+    return best.select(
+        F.col("mention_id").alias(text_col), "entity_id", "canonical_name", "link_score"
     )

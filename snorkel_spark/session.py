@@ -77,6 +77,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.python.daemon.module", "snorkel_spark.pydaemon")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # NOTE on spark.python.worker.idleTimeoutSeconds: an aggressive
+        # idle-kill (1 s + killOnIdleTimeout) was tried to drain
+        # resident worker pools (OPTIMIZATION_r06.md §8b) and REVERTED:
+        # the kill races with worker reuse ("Python worker exited
+        # unexpectedly"), and local mode's task.maxFailures=1 turns
+        # that race into a job failure.  It also showed no measurable
+        # bench benefit — the narrow pool from the 1-worker session
+        # warm-up is the effective mitigation.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

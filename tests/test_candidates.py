@@ -64,3 +64,17 @@ def test_kary_extraction_ternary(spark, persons, mentions):
     # 4-ary degenerates to 0 rows on these sentences (only one relation word)
     q = extract_candidates_kary([persons, mid, mid, persons], rel_type="r4")
     assert q.count() == 0
+
+
+def test_self_pairing_fast_path_equals_join_path(spark, sentences, persons):
+    """r06 optimization contract: extract_candidates(p, p) (grouped
+    in-sentence pairing, single subtree evaluation) must produce
+    exactly the rows of the two-sided join path."""
+    from snorkel_spark.operators.candidates import extract_candidates
+
+    persons2 = persons.select(*persons.columns)  # distinct object → join path
+    fast = extract_candidates(persons, persons, sentences=sentences)
+    slow = extract_candidates(persons, persons2, sentences=sentences)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0

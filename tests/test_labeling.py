@@ -99,6 +99,13 @@ def test_expr_fast_path_equals_pandas_path(spark, candidates, fixture_lfs):
     pandas_lfs = [dataclasses.replace(lf, expr=None) for lf in fixture_lfs]
     fast = apply_lfs(candidates, fixture_lfs)
     slow = apply_lfs(candidates, pandas_lfs)
-    assert "MapInPandas" not in fast._jdf.queryExecution().executedPlan().toString()
+    # the LF application itself must add NO Python node: over a plain
+    # in-memory frame the fast path's plan is pure JVM
+    tiny = spark.createDataFrame(
+        [("c1", "7", "anna lee", "bob kim", "was married to")],
+        "candidate_id string, doc_id string, subj_text string, obj_text string, text_between string",
+    )
+    tplan = apply_lfs(tiny, fixture_lfs)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in tplan and "ArrowEvalPython" not in tplan
     assert fast.exceptAll(slow).count() == 0
     assert slow.exceptAll(fast).count() == 0

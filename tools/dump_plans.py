@@ -16,10 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 NOTES = {
     "sentences": (
-        "Single projection chain over the parquet scan — synthesis, span "
-        "explode and tokenization are all built-in expressions; no shuffle, "
-        "no Python.  WholeStageCodegen covers the filters/projects around "
-        "the two Generates (explode is codegen-incompatible by design)."
+        "Synthesis and span explode are built-in expressions over the "
+        "parquet scan; tokenization runs as ONE Arrow-batched mapInPandas "
+        "(r06: compiled C string ops beat the interpreted transform "
+        "closures 2.7x cold — guide \u00a74.2; parse_sentences_expr keeps "
+        "the pure-JVM plan for Python-less deployments).  No shuffle."
     ),
     "person_mentions": (
         "The gazetteer dictionary match is a **BroadcastHashJoin LeftSemi** "
@@ -28,19 +29,18 @@ NOTES = {
         "it is generated."
     ),
     "candidates": (
-        "Sentence-local pairing: the subj/obj join carries the equi key "
-        "(sentence_id) plus theta residuals; global dedup is the stage's "
-        "only exchange and — since round 5 — a pure grouping-key "
-        "**HashAggregate** (distinct on all columns, every one a function "
-        "of the id's hash preimage) instead of the SortAggregate+2×Sort "
-        "a subset-dedup's first(string) buffers forced.  At this fixture "
-        "size Catalyst broadcasts the build side; at scale AQE picks "
-        "shuffled hash/SMJ on sentence_id — a uniform key."
+        "Sentence-local self-pairing (r06): mentions group once per "
+        "sentence and ordered pairs explode bucket-locally, so the "
+        "ngram+matcher subtree is evaluated ONCE (a self-join evaluated it "
+        "on both sides) with ONE shuffle; global dedup is a pure "
+        "grouping-key **HashAggregate** (distinct on all columns) and the "
+        "token attach rides the same sentence_id partitioning ahead of it."
     ),
     "label_matrix": (
-        "One Arrow-batched mapInPandas (the LF applier) over a narrowed "
-        "projection — note the input is just 5 columns, chosen explicitly "
-        "because Catalyst cannot prune through a Python map."
+        "r06: every fixture LF carries a Catalyst expr twin, so the matrix "
+        "is one JVM projection+explode+filter — NO Python node at all.  "
+        "LFs without an expr fall back to the Arrow-batched mapInPandas "
+        "applier over an explicitly narrowed projection."
     ),
     "O_cells": (
         "Sufficient statistics: self-join on candidate_id + count per "
@@ -48,9 +48,10 @@ NOTES = {
         "output is (m·k)² rows, so the driver collect is O(1) in corpus."
     ),
     "marginals": (
-        "Scoring: label matrix ⋈ **broadcast** factor table (m·k·k rows) "
-        "→ pivoted hash agg per candidate → row-local softmax.  Zero "
-        "Python; one shuffle on candidate_id."
+        "Scoring (r06): the m\u00b7k\u00b2 factor table is inlined as a literal "
+        "map<int,array<double>> probed per label row — no Python-RDD scan, "
+        "no BroadcastExchange — and per-class conditional sums replace the "
+        "pivot, leaving exactly ONE exchange (candidate_id).  Zero Python."
     ),
     "triples_salted": (
         "Salted two-phase aggregation: partial agg on (subj,pred,obj,salt) "
@@ -59,12 +60,11 @@ NOTES = {
     ),
     "ngram_jaccard": (
         "Near-dup via MinHash bands: signatures are a pure projection; "
-        "candidate generation is an equi-join on band_key (the ONLY keys "
-        "that meet are same-bucket), with the bucket-width cap applied as "
-        "a groupBy+join on the SAME key — co-partitioned, so the cap adds "
-        "no extra shuffle of the wide side.  The w² pair blowup is "
-        "bounded by the cap; exact Jaccard verify touches bucket-mates "
-        "only.  No cross product anywhere in the plan."
+        "candidate generation (r06) is ONE groupBy on band_key — each "
+        "capped bucket's sorted member list explodes its own <= w\u00b2 pairs — "
+        "so the signature projection is evaluated once (the former "
+        "cap-groupBy + band self-join evaluated it on three subtrees).  "
+        "Exact Jaccard verify touches bucket-mates only; no cross product."
     ),
     "lsh_pairs": (
         "Amplified embedding LSH: buckets are a projection (posexplode "

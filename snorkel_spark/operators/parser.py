@@ -172,6 +172,26 @@ def parse_sentences_arrow(raw: DataFrame) -> DataFrame:
         F.col("span.text").alias("text"),
         F.col("span.offset").alias("offset"),
     )
+    # Right-size the Python tasks (guide §2.2 "fewer, larger map
+    # tasks"): a tiny corpus spread over cores×4 partitions pays ~128
+    # worker round-trips for sub-MB batches — measured 1.4 s/stage of
+    # pure overhead at sf0.1.  Coalesce DOWN (never up) to
+    # ~1 MB-of-estimated-input per task with a floor of
+    # defaultParallelism/8 tasks; large inputs keep their native width
+    # because the computed width exceeds it (coalesce is then a no-op).
+    # The estimate is Catalyst's sizeInBytes (compressed-size-derived,
+    # so the real per-task text is ~10–30× larger — still far below
+    # batch-memory limits).
+    try:
+        import math
+
+        est = int(exploded._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        floor = max(2, exploded.sparkSession.sparkContext.defaultParallelism // 8)
+        width = max(floor, math.ceil(est / (1 << 20)))
+        if width < exploded.rdd.getNumPartitions():
+            exploded = exploded.coalesce(width)
+    except Exception:
+        pass  # estimation is best-effort; native width is always valid
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re

@@ -111,18 +111,14 @@ def apply_lfs(
     the Arrow-batched path below.
     """
     lf_list = list(lfs)
-    if lf_list and all(lf.expr is not None for lf in lf_list) and error_counters is None:
-        pairs = [
-            F.struct(
-                F.lit(lf.lf_id).cast("int").alias("lf_id"),
-                lf.expr.cast("int").alias("label"),
-            )
-            for lf in lf_list
-        ]
-        return (
-            candidates.select("candidate_id", F.explode(F.array(*pairs)).alias("r"))
-            .select("candidate_id", F.col("r.lf_id").alias("lf_id"), F.col("r.label").alias("label"))
-            .filter("label != 0")
+    if (
+        lf_list
+        and all(lf.expr is not None for lf in lf_list)
+        and len({lf.lf_id for lf in lf_list}) == len(lf_list)
+        and error_counters is None
+    ):
+        return apply_lfs_columnar(
+            candidates, {lf.lf_id: lf.expr for lf in lf_list}
         )
     if columns:
         keep = [c for c in columns if c in candidates.columns]
@@ -236,7 +232,11 @@ def make_fixture_lfs(known_spouse_pairs: set[tuple[str, str]]) -> list[LF]:
     # JVM fast path in apply_lfs).  Same word-boundary regex the pandas
     # closures run on the space-joined text_between; nulls → abstain.
     def _btw_rgx(words: list[str]) -> F.Column:
-        rgx = "(?:^| )(?:" + "|".join(words) + ")(?: |$)"
+        # re.escape like the pandas twin — keeps the two paths matching
+        # the same language if a word list ever gains a regex metachar
+        import re
+
+        rgx = "(?:^| )(?:" + "|".join(map(re.escape, words)) + ")(?: |$)"
         return F.coalesce(F.col("text_between").rlike(rgx), F.lit(False))
 
     did = F.col("doc_id").cast("bigint")

@@ -136,7 +136,10 @@ class LabelModel:
 
     # ---- G2: marginals ------------------------------------------------
     def factor_table(self, spark: SparkSession) -> DataFrame:
-        """(lf_id, label, c, log_mu) — the broadcast side of scoring."""
+        """(lf_id, label, c, log_mu) as a DataFrame — an inspection /
+        export view of the learned factors.  NOT on the scoring path
+        since r06: ``marginals`` inlines these values as a literal map
+        (no Python-RDD scan, no broadcast)."""
         k = self.cardinality
         rows = []
         for j in range(self.m):

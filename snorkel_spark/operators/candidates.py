@@ -60,7 +60,10 @@ def extract_candidates(
         # is bounded per row exactly like the join's per-key output.
         # Pair set is identical: all (a, b) with a.ws < b.ws, same
         # residual filters below.
-        m = subj_mentions.select(
+        # drop null sentence_ids explicitly: the join path's equi-key
+        # never matches nulls, while a groupBy would lump every
+        # null-key mention into ONE cross-document group
+        m = subj_mentions.filter(F.col("sentence_id").isNotNull()).select(
             "doc_id", "sentence_id", "position", "n_tokens",
             "word_start", "word_end", "text",
         )

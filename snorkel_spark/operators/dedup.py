@@ -200,24 +200,40 @@ def _lsh_jaccard_pairs(
     sigs = minhash_signatures(docs, n_hashes, shingle_n, hash_backend)
     bands = _band_keys(sigs, n_hashes, n_bands)
     if max_bucket is not None:
-        # Capped buckets: ONE groupBy on band_key builds each bucket's
-        # sorted member list, the cap filters it, and the ≤w² candidate
-        # pairs explode bucket-locally.  One exchange total, and — the
-        # real win — the expensive signature projection is evaluated
-        # ONCE: the former bucket-cap-groupBy + band self-join shape
-        # re-evaluated the minhash transform on three separate subtrees
-        # (cap side, join side a, join side b; guide §1.2 "don't compute
-        # things twice").  Pair set is identical (a < b ordering = the
-        # sort order of the member list; cross-band repeats collapse in
-        # the same distinct).  Bucket width is bounded by the cap, so
-        # the collected member list is ≤ max_bucket ids — never an
-        # unbounded collect.
+        # Capped buckets, evaluated in one exchange chain on band_key:
+        # a COUNT-based width screen runs first (map-side partial agg —
+        # a mega-bucket costs a counter, never a buffer), the surviving
+        # band keys filter the bands via a co-partitioned join (the
+        # bands exchange is identical on both subtrees, so Spark's
+        # ReuseExchange evaluates the expensive signature projection
+        # ONCE), and only then does each ≤max_bucket bucket build its
+        # sorted member list and explode its ≤w² pairs bucket-locally.
+        # The former shape (cap groupBy + band self-join) re-evaluated
+        # the minhash transform on additional subtrees (guide §1.2);
+        # collecting before the width filter would instead materialize
+        # mega-buckets in a single aggregation buffer — both rejected.
+        # Pair set matches the join shape: strict doc_a < doc_b (equal
+        # ids — duplicate doc_id rows — pair in neither), cross-band
+        # repeats collapse in the same distinct.
+        # ONE explicit exchange on band_key shared by both consumers:
+        # a plain groupBy(count) would partial-aggregate BELOW its
+        # exchange (shipping (band_key, count) rows) while the join
+        # ships (doc_id, band_key) rows — different payloads, so Spark
+        # could never reuse the shuffle and the signature projection
+        # ran twice.  Repartitioning first makes the two subtrees share
+        # the identical exchange (ReusedExchange), and both the width
+        # screen and the join consume it in place.
+        bands_p = bands.repartition("band_key")
+        ok = (
+            bands_p.groupBy("band_key")
+            .agg(F.count("*").alias("_w"))
+            .filter((F.col("_w") <= max_bucket) & (F.col("_w") >= 2))
+            .select("band_key")
+        )
         cand = (
-            bands.groupBy("band_key")
+            bands_p.join(ok, "band_key")
+            .groupBy("band_key")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("_members"))
-            .filter(
-                (F.size("_members") <= max_bucket) & (F.size("_members") >= 2)
-            )
             .select(
                 F.explode(
                     F.expr(
@@ -228,6 +244,7 @@ def _lsh_jaccard_pairs(
                 ).alias("_pr")
             )
             .select(F.col("_pr.doc_a").alias("doc_a"), F.col("_pr.doc_b").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
             .distinct()
         )
     else:

@@ -9,13 +9,15 @@ document (the synthesizer emits one sentence per text chunk), and
 tokenization is whitespace splitting — exactly what the corpus'
 word-salad text calls for, and fully expressible with JVM built-ins.
 
-Two implementations are provided:
+Two row-identical implementations are provided (see
+``parse_sentences`` for the dispatch):
 
-- ``parse_sentences``  — pure built-in expressions (split/transform/
-  filter).  Zero Python; whole-stage codegen; the default.
-- ``parse_sentences_arrow`` — the same result via ``mapInPandas``
-  (Arrow-batched, vectorized pandas ops).  Kept for parity with the
-  reference's UDF-runner shape and for benchmarking the two paths.
+- ``parse_sentences_arrow`` — Arrow-batched ``mapInPandas``; the
+  DEFAULT since r06 (compiled C string ops beat the interpreted
+  higher-order-function closures ~2.7× cold — guide §4.2).
+- ``parse_sentences_expr`` — pure built-in expressions (split/
+  transform/filter), zero Python; use where Python workers are
+  unavailable (``parse_sentences(raw, impl='expr')``).
 
 Both emit the canonical schema:
     doc_id string, sentence_id string, position int, text string,
@@ -198,7 +200,10 @@ def parse_sentences_arrow(raw: DataFrame) -> DataFrame:
 
         ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
-            t = pdf[(pdf["kind"] == "text") & (pdf["text"] != "")]
+            # notna mirrors the expr path: "span.text != ''" drops NULL
+            # rows in SQL; a pandas object-comparison would pass them
+            # and crash the split
+            t = pdf[(pdf["kind"] == "text") & pdf["text"].notna() & (pdf["text"] != "")]
             if len(t) == 0:
                 continue
             toks = [

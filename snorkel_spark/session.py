@@ -96,7 +96,7 @@ def get_spark(
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
-    _warm_python_workers(spark, n_cores)
+    _warm_python_workers(spark)
     _warm_engine(spark)
     return spark
 
@@ -153,7 +153,7 @@ def _warm_engine(spark: SparkSession) -> None:
         pass  # warm-up is best-effort; never block the session
 
 
-def _warm_python_workers(spark: SparkSession, n_cores: int) -> None:
+def _warm_python_workers(spark: SparkSession) -> None:
     """Start the preloaded worker daemon (snorkel_spark/pydaemon.py)
     and ONE worker at session creation, so the first real Python stage
     measures its computation rather than daemon+import latency (guide

@@ -540,3 +540,13 @@ def test_repetition_stats_equals_bruteforce(spark):
     for i, t in enumerate(texts):
         assert got[str(i)]["top2_cnt"] == brute(t, 2), (i, t)
         assert got[str(i)]["top3_cnt"] == brute(t, 3), (i, t)
+
+
+def test_lsh_duplicate_doc_id_rows_no_self_pairs(spark, docs):
+    """Duplicate doc_id rows must not produce doc_a == doc_b pairs
+    (the strict a < b contract of the join shape)."""
+    from snorkel_spark.operators.dedup import ngram_jaccard_pairs
+
+    doubled = docs.limit(20).unionByName(docs.limit(20))
+    pairs = ngram_jaccard_pairs(doubled, threshold=0.0, n_hashes=16, n_bands=8)
+    assert pairs.filter("doc_a >= doc_b").count() == 0

@@ -190,3 +190,20 @@ def test_dictionary_length_pruning_identical_matches(spark, sentences, persons):
     full = persons.select("mention_id")
     assert pruned.select("mention_id").exceptAll(full).count() == 0
     assert full.exceptAll(pruned.select("mention_id")).count() == 0
+
+
+def test_parse_sentences_null_text_span_dropped(spark):
+    """Both parse implementations drop NULL-text spans (the SQL filter
+    semantics) instead of crashing on them."""
+    from snorkel_spark.operators.parser import parse_sentences_arrow, parse_sentences_expr
+
+    raw = spark.createDataFrame(
+        [("d1", [
+            {"kind": "text", "text": None, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "a b", "media_ref": "", "offset": 1},
+        ])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    for fn in (parse_sentences_arrow, parse_sentences_expr):
+        rows = fn(raw).collect()
+        assert len(rows) == 1 and rows[0]["tokens"] == ["a", "b"], fn.__name__
